@@ -1,0 +1,94 @@
+"""Model configs for the three reference detector variants (BASELINE.md)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from bdd100k_tpu.ops.anchors import (
+    SSD300_FEATURE_MAPS,
+    SSD512_FEATURE_MAPS,
+    YOLO_BDD_PRIORS,
+    FeatureMapSpec,
+)
+from bdd100k_tpu.ops.postprocess import PostprocessConfig
+
+# BDD100K detection classes (SURVEY.md §2.1); ids 1..10, 0 = background.
+BDD100K_CLASSES = (
+    "car",
+    "bus",
+    "truck",
+    "person",
+    "rider",
+    "bike",
+    "motor",
+    "traffic light",
+    "traffic sign",
+    "train",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    name: str
+    image_size: int
+    backbone: str = "mobilenet"            # "mobilenet" | "vgg16"
+    head: str = "ssd"                      # "ssd" | "yolo"
+    num_classes: int = len(BDD100K_CLASSES)
+    width: float = 1.0                     # MobileNet width multiplier
+    feature_maps: tuple[FeatureMapSpec, ...] = SSD300_FEATURE_MAPS
+    yolo_grids: tuple[int, ...] = ()
+    yolo_priors: tuple = ()
+    match_threshold: float = 0.5
+    neg_pos_ratio: float = 3.0
+    postprocess: PostprocessConfig = PostprocessConfig()
+
+    @property
+    def num_anchors(self) -> int:
+        if self.head == "yolo":
+            return sum(
+                g * g * len(p) for g, p in zip(self.yolo_grids, self.yolo_priors)
+            )
+        return sum(f.size * f.size * f.num_boxes for f in self.feature_maps)
+
+
+# BASELINE config 1: SSD-MobileNet 300×300 (batch=1 inference incl. NMS).
+SSD_MOBILENET_300 = DetectorConfig(
+    name="ssd_mobilenet_300",
+    image_size=300,
+    backbone="mobilenet",
+    head="ssd",
+    feature_maps=SSD300_FEATURE_MAPS,
+    postprocess=PostprocessConfig(score_mode="softmax", decode_mode="ssd"),
+)
+
+# BASELINE config 2: SSD-VGG16 512×512 (batch=32 eval, on-device NMS).
+SSD_VGG16_512 = DetectorConfig(
+    name="ssd_vgg16_512",
+    image_size=512,
+    backbone="vgg16",
+    head="ssd",
+    feature_maps=SSD512_FEATURE_MAPS,
+    postprocess=PostprocessConfig(score_mode="softmax", decode_mode="ssd"),
+)
+
+# BASELINE config 3: YOLO-style multi-scale head (batch=64 train step).
+# 384 input → grids 48/24/12 at strides 8/16/32.
+YOLO_MOBILENET_384 = DetectorConfig(
+    name="yolo_mobilenet_384",
+    image_size=384,
+    backbone="mobilenet",
+    head="yolo",
+    yolo_grids=(48, 24, 12),
+    yolo_priors=YOLO_BDD_PRIORS,
+    postprocess=PostprocessConfig(score_mode="sigmoid", decode_mode="yolo"),
+)
+
+_CONFIGS = {
+    c.name: c for c in (SSD_MOBILENET_300, SSD_VGG16_512, YOLO_MOBILENET_384)
+}
+
+
+def get_config(name: str) -> DetectorConfig:
+    if name not in _CONFIGS:
+        raise KeyError(f"unknown config {name!r}; have {sorted(_CONFIGS)}")
+    return _CONFIGS[name]

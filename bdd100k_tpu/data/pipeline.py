@@ -1,0 +1,170 @@
+"""Host input pipeline: decode workers → fixed batches → HBM prefetch.
+
+TPU-native shape of the reference's `tf.data`/feed-dict stage (SURVEY.md
+§2.1): JPEG decode is host work (TPUs can't decode JPEG — SURVEY.md §2.7),
+done by a thread pool that pipelines ahead of the device; everything after
+`device_put` (resize/normalize/augment) is the jitted `augment_batch`
+program. `prefetch_to_device` keeps a double buffer in HBM so the TPU never
+waits on the host (BASELINE.json:5 "double-buffered prefetch").
+
+Per-host sharding for multi-host DP: pass process_index/process_count so
+each host decodes only its shard of the global batch (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterator, NamedTuple, Sequence
+
+import jax
+import numpy as np
+
+from bdd100k_tpu.data.bdd100k import (
+    IMAGE_HEIGHT,
+    IMAGE_WIDTH,
+    load_bdd100k_labels,
+    pad_ground_truth,
+)
+
+
+class Batch(NamedTuple):
+    images: np.ndarray   # (B, H, W, 3) uint8
+    boxes: np.ndarray    # (B, M, 4) float32 normalized corners
+    labels: np.ndarray   # (B, M) int32
+    mask: np.ndarray     # (B, M) bool
+
+
+class DetectionDataset:
+    """Random-access dataset of (jpeg path, padded GT)."""
+
+    def __init__(
+        self,
+        records: Sequence[dict],
+        image_dir: str | Path,
+        max_boxes: int = 100,
+        image_height: int = IMAGE_HEIGHT,
+        image_width: int = IMAGE_WIDTH,
+    ):
+        self.records = list(records)
+        self.image_dir = Path(image_dir)
+        self.max_boxes = max_boxes
+        self.image_height = image_height
+        self.image_width = image_width
+
+    @classmethod
+    def from_bdd100k(
+        cls,
+        labels_path: str | Path,
+        image_dir: str | Path,
+        max_boxes: int = 100,
+        **kw,
+    ) -> "DetectionDataset":
+        return cls(load_bdd100k_labels(labels_path), image_dir, max_boxes, **kw)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def _decode(self, name: str) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(self.image_dir / name) as im:
+            im = im.convert("RGB")
+            if im.size != (self.image_width, self.image_height):
+                im = im.resize((self.image_width, self.image_height))
+            return np.asarray(im, dtype=np.uint8)
+
+    def __getitem__(self, i: int) -> dict:
+        rec = self.records[i]
+        boxes, labels, mask = pad_ground_truth(
+            rec["boxes"], rec["labels"], self.max_boxes
+        )
+        return {
+            "image": self._decode(rec["name"]),
+            "boxes": boxes,
+            "labels": labels,
+            "mask": mask,
+            "name": rec["name"],
+        }
+
+
+def make_loader(
+    dataset: DetectionDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_workers: int = 8,
+    drop_last: bool = True,
+    num_epochs: int | None = None,
+    process_index: int = 0,
+    process_count: int = 1,
+) -> Iterator[Batch]:
+    """Decode-ahead batch iterator.
+
+    A thread pool decodes `batch_size` images concurrently while the previous
+    batch is on device; indices are sharded per host (process_index::count).
+    """
+    local = np.arange(len(dataset))[process_index::process_count]
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+    try:
+        while num_epochs is None or epoch < num_epochs:
+            order = rng.permutation(local) if shuffle else local
+            stop = len(order) - batch_size + 1 if drop_last else len(order)
+            if stop <= 0 and not drop_last:
+                stop = len(order)
+            for start in range(0, max(stop, 0), batch_size):
+                idx = order[start : start + batch_size]
+                if drop_last and len(idx) < batch_size:
+                    break
+                if len(idx) < batch_size:  # pad final partial batch
+                    idx = np.concatenate(
+                        [idx, np.repeat(idx[-1:], batch_size - len(idx))]
+                    )
+                samples = list(pool.map(dataset.__getitem__, idx))
+                yield Batch(
+                    images=np.stack([s["image"] for s in samples]),
+                    boxes=np.stack([s["boxes"] for s in samples]),
+                    labels=np.stack([s["labels"] for s in samples]),
+                    mask=np.stack([s["mask"] for s in samples]),
+                )
+            epoch += 1
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
+
+
+def prefetch_to_device(
+    iterator: Iterator, size: int = 2, sharding=None
+) -> Iterator:
+    """Double-buffered host→HBM transfer running ahead of consumption.
+
+    A background thread calls device_put on upcoming batches (async under
+    JAX — the transfer overlaps compute); the consumer always finds the next
+    batch already resident. With a `sharding`, batches land pre-sharded
+    across the mesh's data axis (per-host transfer only moves local shards).
+    """
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -1,0 +1,151 @@
+"""Class-wise NMS as a static-shape, fully on-device XLA program.
+
+Behavior spec: SURVEY.md §2.2 "Class-wise NMS" — the reference runs greedy
+per-class NMS in host NumPy per image (drop score < thresh, sort desc,
+suppress IoU > ~0.45, keep top-k). This module produces *identical* keep
+decisions, but TPU-native:
+
+  * top-k pre-selection (lax.top_k) bounds the candidate set to a static k;
+  * the greedy chain is an O(k²) IoU matrix + a k-step `fori_loop` over a
+    keep mask — no data-dependent shapes anywhere (SURVEY.md §7 "hard parts");
+  * classes are vmapped, images are vmapped: one compiled kernel does the
+    whole batch, and only fixed `max_detections` slots travel back to host.
+
+A fused Pallas variant lives in `pallas_postprocess.py`; this jnp version is
+its correctness oracle (SURVEY.md §4.2 "Pallas NMS vs jnp reference NMS must
+agree exactly").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bdd100k_tpu.ops import boxes as box_ops
+
+
+class Detections(NamedTuple):
+    """Fixed-slot detection output (validity-masked)."""
+
+    boxes: jnp.ndarray    # (..., max_det, 4) corner format
+    scores: jnp.ndarray   # (..., max_det)
+    classes: jnp.ndarray  # (..., max_det) int32, 1..C (0 in invalid slots)
+    valid: jnp.ndarray    # (..., max_det) bool
+
+
+def greedy_keep_mask(
+    boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float
+) -> jnp.ndarray:
+    """Greedy NMS keep mask over score-descending candidates.
+
+    boxes: (k, 4) corner, sorted by score desc; valid: (k,) bool.
+    Exact greedy semantics: candidate i survives iff no *surviving* j < i
+    overlaps it above the threshold.
+    """
+    k = boxes.shape[0]
+    iou = box_ops.iou_pairwise(boxes, boxes)
+    earlier = jnp.arange(k)[None, :] < jnp.arange(k)[:, None]  # (i, j): j < i
+    suppress_edge = (iou > iou_threshold) & earlier              # j can kill i
+
+    def body(i, keep):
+        killed = jnp.any(suppress_edge[i] & keep)
+        return keep.at[i].set(keep[i] & ~killed)
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+def nms_single_class(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.01,
+    topk: int = 200,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One class, one image. boxes (N, 4), scores (N,).
+
+    Returns (boxes (topk, 4), scores (topk,), valid (topk,)) sorted by score
+    desc; suppressed/below-threshold slots have score 0 and valid False.
+    """
+    scores = jnp.where(scores > score_threshold, scores, 0.0)
+    top_scores, idx = jax.lax.top_k(scores, k=min(topk, scores.shape[0]))
+    top_boxes = boxes[idx]
+    valid = top_scores > 0.0
+    keep = greedy_keep_mask(top_boxes, valid, iou_threshold)
+    out_scores = jnp.where(keep, top_scores, 0.0)
+    return top_boxes, out_scores, keep
+
+
+def class_nms(
+    boxes: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.01,
+    per_class_topk: int = 200,
+    max_detections: int = 200,
+    boxes_per_class: bool = False,
+) -> Detections:
+    """Class-wise NMS for one image.
+
+    Args:
+      boxes: (N, 4) decoded corner boxes — shared across classes (SSD), or
+        (C, N, 4) per-class boxes if `boxes_per_class`.
+      class_scores: (N, C) foreground class scores (background excluded).
+    Returns top `max_detections` across all classes, score-sorted, fixed slots.
+    """
+    num_classes = class_scores.shape[-1]
+    scores_cn = class_scores.T  # (C, N)
+    if boxes_per_class:
+        boxes_cn = boxes
+    else:
+        boxes_cn = jnp.broadcast_to(boxes[None], (num_classes,) + boxes.shape)
+
+    per_class = jax.vmap(
+        lambda b, s: nms_single_class(
+            b, s, iou_threshold, score_threshold, per_class_topk
+        )
+    )(boxes_cn, scores_cn)
+    cboxes, cscores, ckeep = per_class  # (C, topk, ...)
+
+    class_ids = jnp.broadcast_to(
+        jnp.arange(1, num_classes + 1, dtype=jnp.int32)[:, None], cscores.shape
+    )
+    flat_boxes = cboxes.reshape(-1, 4)
+    flat_scores = jnp.where(ckeep, cscores, 0.0).reshape(-1)
+    flat_classes = class_ids.reshape(-1)
+    if flat_scores.shape[0] < max_detections:  # tiny inputs: pad candidates
+        pad = max_detections - flat_scores.shape[0]
+        flat_boxes = jnp.pad(flat_boxes, ((0, pad), (0, 0)))
+        flat_scores = jnp.pad(flat_scores, (0, pad))
+        flat_classes = jnp.pad(flat_classes, (0, pad))
+
+    top_scores, sel = jax.lax.top_k(flat_scores, k=max_detections)
+    valid = top_scores > 0.0
+    return Detections(
+        boxes=flat_boxes[sel],
+        scores=top_scores,
+        classes=jnp.where(valid, flat_classes[sel], 0),
+        valid=valid,
+    )
+
+
+def batched_class_nms(
+    boxes: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.01,
+    per_class_topk: int = 200,
+    max_detections: int = 200,
+) -> Detections:
+    """Batch of images: boxes (B, N, 4), class_scores (B, N, C)."""
+    return jax.vmap(
+        lambda b, s: class_nms(
+            b,
+            s,
+            iou_threshold,
+            score_threshold,
+            per_class_topk,
+            max_detections,
+        )
+    )(boxes, class_scores)

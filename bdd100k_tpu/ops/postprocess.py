@@ -1,0 +1,88 @@
+"""Fused on-device postprocess: box decode → scoring → class-wise NMS.
+
+This is the TPU-native replacement for the reference's per-image host loop
+(SURVEY.md §3.2: fetch raw anchor tensors → NumPy decode → NumPy NMS). Here
+the whole chain is one jitted program; only `max_detections` fixed slots per
+image cross the device→host boundary (BASELINE.json:5 "box decode,
+sigmoid/softmax scoring, and class-wise NMS run on-device").
+
+Scoring modes:
+  * "softmax" — SSD heads: softmax over C+1 (background col 0 dropped).
+  * "sigmoid" — YOLO-style heads: sigmoid(objectness) × sigmoid(class).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from bdd100k_tpu.ops import boxes as box_ops
+from bdd100k_tpu.ops.nms import Detections, batched_class_nms
+
+
+@dataclasses.dataclass(frozen=True)
+class PostprocessConfig:
+    """All postprocess constants in one place (SURVEY.md §7: keep constants
+    most likely to differ from the reference in one config for easy re-diff)."""
+
+    score_mode: str = "softmax"        # "softmax" (SSD) | "sigmoid" (YOLO)
+    decode_mode: str = "ssd"           # "ssd" | "yolo" (σ(tx)+grid decode)
+    score_threshold: float = 0.01      # eval default; demo uses ~0.3-0.5
+    iou_threshold: float = 0.45
+    per_class_topk: int = 200
+    max_detections: int = 200
+    variances: tuple[float, float] = (
+        box_ops.VARIANCE_CENTER,
+        box_ops.VARIANCE_SIZE,
+    )
+
+
+def compute_scores(cls_preds: jnp.ndarray, score_mode: str) -> jnp.ndarray:
+    """(.., A, C+1) logits → (.., A, C) foreground scores."""
+    if score_mode == "softmax":
+        return jax.nn.softmax(cls_preds, axis=-1)[..., 1:]
+    elif score_mode == "sigmoid":
+        # col 0 = objectness logit, cols 1.. = per-class logits.
+        obj = jax.nn.sigmoid(cls_preds[..., :1])
+        return obj * jax.nn.sigmoid(cls_preds[..., 1:])
+    raise ValueError(f"unknown score_mode: {score_mode}")
+
+
+@partial(jax.jit, static_argnames=("config",))
+def postprocess(
+    loc_preds: jnp.ndarray,
+    cls_preds: jnp.ndarray,
+    anchors_center: jnp.ndarray,
+    config: PostprocessConfig = PostprocessConfig(),
+    cell_sizes: jnp.ndarray | None = None,
+) -> Detections:
+    """Batch postprocess.
+
+    Args:
+      loc_preds: (B, A, 4) box regression outputs (tx, ty, tw, th).
+      cls_preds: (B, A, C+1) raw logits (background/objectness in col 0).
+      anchors_center: (A, 4) center-format anchors.
+      cell_sizes: (A,) grid cell sizes, required for decode_mode="yolo".
+
+    Returns `Detections` with fixed (B, max_detections) slots, clipped to
+    [0, 1] image coords.
+    """
+    loc_preds = loc_preds.astype(jnp.float32)
+    cls_preds = cls_preds.astype(jnp.float32)
+    if config.decode_mode == "yolo":
+        decoded = box_ops.yolo_decode_boxes(loc_preds, anchors_center, cell_sizes)
+    else:
+        decoded = box_ops.decode_boxes(loc_preds, anchors_center, config.variances)
+    decoded = box_ops.clip_boxes(decoded)
+    scores = compute_scores(cls_preds, config.score_mode)
+    return batched_class_nms(
+        decoded,
+        scores,
+        iou_threshold=config.iou_threshold,
+        score_threshold=config.score_threshold,
+        per_class_topk=config.per_class_topk,
+        max_detections=config.max_detections,
+    )

@@ -1,0 +1,197 @@
+"""Data pipeline tests: parser, synthetic generator, loader, fused augment."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bdd100k_tpu.data.augment import (
+    AugmentConfig,
+    augment_batch,
+    preprocess_eval_batch,
+    _resample,
+)
+from bdd100k_tpu.data.bdd100k import (
+    load_bdd100k_labels,
+    parse_bdd100k_record,
+    pad_ground_truth,
+)
+from bdd100k_tpu.data.pipeline import DetectionDataset, make_loader, prefetch_to_device
+from bdd100k_tpu.data.synthetic import generate_synthetic_dataset
+
+
+def test_parse_bdd100k_record():
+    rec = {
+        "name": "a.jpg",
+        "attributes": {"weather": "clear", "timeofday": "daytime"},
+        "labels": [
+            {"category": "car", "box2d": {"x1": 128, "y1": 72, "x2": 256, "y2": 144},
+             "attributes": {"occluded": True}},
+            {"category": "drivable area", "poly2d": []},  # skipped: no box2d
+            {"category": "traffic light",
+             "box2d": {"x1": 0, "y1": 0, "x2": 12.8, "y2": 7.2}},
+        ],
+    }
+    out = parse_bdd100k_record(rec)
+    assert out["boxes"].shape == (2, 4)
+    np.testing.assert_allclose(out["boxes"][0], [0.1, 0.1, 0.2, 0.2], atol=1e-6)
+    assert out["labels"].tolist() == [1, 8]
+    assert out["box_attributes"][0]["occluded"] is True
+
+
+def test_pad_ground_truth():
+    b, l, m = pad_ground_truth(
+        np.zeros((3, 4), np.float32), np.ones(3, np.int32), 10
+    )
+    assert b.shape == (10, 4) and m.sum() == 3
+    b, l, m = pad_ground_truth(
+        np.zeros((0, 4), np.float32), np.zeros(0, np.int32), 10
+    )
+    assert not m.any()
+
+
+@pytest.fixture(scope="module")
+def synthetic_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bdd")
+    generate_synthetic_dataset(root, num_images=6, seed=0, split="train")
+    return root
+
+
+def test_synthetic_dataset_format(synthetic_root):
+    recs = load_bdd100k_labels(synthetic_root / "labels" / "train.json")
+    assert len(recs) == 6
+    assert all(r["boxes"].shape[1] == 4 for r in recs)
+    assert all(len(r["boxes"]) >= 1 for r in recs)
+    raw = json.loads((synthetic_root / "labels" / "train.json").read_text())
+    assert "box2d" in raw[0]["labels"][0]
+    assert "weather" in raw[0]["attributes"]
+
+
+def test_dataset_and_loader(synthetic_root):
+    ds = DetectionDataset.from_bdd100k(
+        synthetic_root / "labels" / "train.json",
+        synthetic_root / "images" / "train",
+        max_boxes=16,
+    )
+    assert len(ds) == 6
+    sample = ds[0]
+    assert sample["image"].shape == (720, 1280, 3)
+    assert sample["image"].dtype == np.uint8
+
+    batches = list(
+        make_loader(ds, batch_size=2, shuffle=True, num_epochs=1, num_workers=2)
+    )
+    assert len(batches) == 3
+    assert batches[0].images.shape == (2, 720, 1280, 3)
+    assert batches[0].boxes.shape == (2, 16, 4)
+
+
+def test_loader_per_host_sharding(synthetic_root):
+    ds = DetectionDataset.from_bdd100k(
+        synthetic_root / "labels" / "train.json",
+        synthetic_root / "images" / "train",
+    )
+    b0 = list(make_loader(ds, 1, shuffle=False, num_epochs=1,
+                          process_index=0, process_count=2, num_workers=1))
+    b1 = list(make_loader(ds, 1, shuffle=False, num_epochs=1,
+                          process_index=1, process_count=2, num_workers=1))
+    assert len(b0) == 3 and len(b1) == 3
+
+
+def test_prefetch_to_device(synthetic_root):
+    ds = DetectionDataset.from_bdd100k(
+        synthetic_root / "labels" / "train.json",
+        synthetic_root / "images" / "train",
+    )
+    it = prefetch_to_device(
+        make_loader(ds, 2, num_epochs=1, num_workers=2), size=2
+    )
+    n = 0
+    for batch in it:
+        assert isinstance(batch.images, jax.Array)
+        n += 1
+    assert n == 3
+
+
+def test_resample_identity():
+    img = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3), jnp.float32)
+    rect = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+    out = _resample(img, rect, 16, 0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_resample_crop_quadrant():
+    """Cropping the top-left quadrant of a constant-quadrant image."""
+    img = np.zeros((16, 16, 1), np.float32)
+    img[:8, :8] = 1.0
+    out = _resample(jnp.asarray(img), jnp.asarray([0.0, 0.0, 0.5, 0.5]), 8, 0.5)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+
+
+def test_resample_expand_fills_mean():
+    """Zoom-out rect (1.5× canvas): out-of-image area reads mean fill."""
+    img = jnp.ones((8, 8, 1), jnp.float32)
+    out = _resample(img, jnp.asarray([-0.25, -0.25, 1.25, 1.25]), 12, 0.25)
+    o = np.asarray(out)
+    assert abs(o[0, 0, 0] - 0.25) < 1e-5   # corner = fill
+    assert abs(o[6, 6, 0] - 1.0) < 1e-5    # center = image
+
+
+def _toy_batch(n=2, m=8):
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (n, 64, 96, 3), dtype=np.uint8)
+    boxes = np.zeros((n, m, 4), np.float32)
+    labels = np.zeros((n, m), np.int32)
+    mask = np.zeros((n, m), bool)
+    boxes[:, 0] = [0.3, 0.3, 0.7, 0.7]
+    labels[:, 0] = 1
+    mask[:, 0] = True
+    return (
+        jnp.asarray(images),
+        jnp.asarray(boxes),
+        jnp.asarray(labels),
+        jnp.asarray(mask),
+    )
+
+
+def test_augment_batch_shapes_and_sanity():
+    images, boxes, labels, mask = _toy_batch()
+    cfg = AugmentConfig(out_size=32)
+    out, b, l, m = augment_batch(jax.random.PRNGKey(0), images, boxes, labels, mask, cfg)
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert b.shape == boxes.shape
+    bb = np.asarray(b)
+    assert bb.min() >= 0.0 and bb.max() <= 1.0
+    # normalized output range bounded by (0-mean)/std..(1-mean)/std
+    assert np.asarray(out).min() >= -1.0 - 1e-5
+    assert np.asarray(out).max() <= 1.0 + 1e-5
+
+
+def test_augment_keeps_some_gt_mostly():
+    """The sampler requires a surviving GT unless it keeps the canvas —
+    where all GTs survive too; so masks should rarely go empty."""
+    images, boxes, labels, mask = _toy_batch(n=8)
+    cfg = AugmentConfig(out_size=32)
+    out, b, l, m = augment_batch(
+        jax.random.PRNGKey(1), images, boxes, labels, mask, cfg
+    )
+    kept = np.asarray(m).any(axis=1)
+    assert kept.mean() >= 0.9
+
+
+def test_augment_deterministic_given_key():
+    images, boxes, labels, mask = _toy_batch()
+    cfg = AugmentConfig(out_size=32)
+    o1 = augment_batch(jax.random.PRNGKey(7), images, boxes, labels, mask, cfg)
+    o2 = augment_batch(jax.random.PRNGKey(7), images, boxes, labels, mask, cfg)
+    np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
+
+
+def test_preprocess_eval_batch():
+    img = jnp.zeros((2, 64, 96, 3), jnp.uint8)
+    out = preprocess_eval_batch(img, 32)
+    assert out.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(out), -1.0, atol=1e-6)

@@ -1,0 +1,141 @@
+"""NMS vs a NumPy oracle + fused postprocess tests (SURVEY.md §4.2)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bdd100k_tpu.ops import boxes as B
+from bdd100k_tpu.ops.nms import (
+    batched_class_nms,
+    class_nms,
+    greedy_keep_mask,
+    nms_single_class,
+)
+from bdd100k_tpu.ops.postprocess import PostprocessConfig, postprocess
+
+
+def numpy_nms_oracle(boxes, scores, iou_t, score_t):
+    """The ~20-line host greedy NMS the reference uses (SURVEY.md §4.2)."""
+    idx = np.argsort(-scores)
+    idx = idx[scores[idx] > score_t]
+    keep = []
+    for i in idx:
+        ok = True
+        for j in keep:
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            ai = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            aj = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(ai + aj - inter, 1e-12) > iou_t:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    return keep
+
+
+def _random_boxes(rng, n):
+    x1y1 = rng.uniform(0, 0.7, size=(n, 2))
+    wh = rng.uniform(0.05, 0.3, size=(n, 2))
+    return np.concatenate([x1y1, np.minimum(x1y1 + wh, 1.0)], -1).astype(
+        np.float32
+    )
+
+
+def test_single_class_matches_oracle():
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        boxes = _random_boxes(rng, 60)
+        scores = rng.uniform(0, 1, 60).astype(np.float32)
+        ob, osc, keep = nms_single_class(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.05, topk=60
+        )
+        got = set(
+            map(tuple, np.asarray(ob)[np.asarray(keep)].round(5).tolist())
+        )
+        oracle_idx = numpy_nms_oracle(boxes, scores, 0.45, 0.05)
+        want = set(map(tuple, boxes[oracle_idx].round(5).tolist()))
+        assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_greedy_keep_highest_survives():
+    boxes = jnp.asarray(
+        [[0.1, 0.1, 0.5, 0.5], [0.12, 0.12, 0.52, 0.52], [0.7, 0.7, 0.9, 0.9]]
+    )
+    keep = np.asarray(
+        greedy_keep_mask(boxes, jnp.ones(3, bool), iou_threshold=0.45)
+    )
+    assert keep.tolist() == [True, False, True]
+
+
+def test_class_nms_classwise_independence():
+    """Identical boxes in different classes don't suppress each other."""
+    boxes = jnp.asarray([[0.1, 0.1, 0.5, 0.5], [0.1, 0.1, 0.5, 0.5]])
+    scores = jnp.asarray([[0.9, 0.0], [0.0, 0.8]])  # 2 anchors × 2 classes
+    det = class_nms(boxes, scores, score_threshold=0.1, max_detections=10)
+    valid = np.asarray(det.valid)
+    assert valid.sum() == 2
+    assert set(np.asarray(det.classes)[valid].tolist()) == {1, 2}
+
+
+def test_class_nms_score_sorted_and_padded():
+    rng = np.random.RandomState(1)
+    boxes = jnp.asarray(_random_boxes(rng, 50))
+    scores = jnp.asarray(rng.uniform(0, 1, size=(50, 3)).astype(np.float32))
+    det = class_nms(boxes, scores, max_detections=100)
+    s = np.asarray(det.scores)
+    assert (np.diff(s) <= 1e-7).all()  # descending
+    v = np.asarray(det.valid)
+    assert (s[~v] == 0).all()
+    assert (np.asarray(det.classes)[~v] == 0).all()
+
+
+def test_batched_nms_matches_per_image():
+    rng = np.random.RandomState(2)
+    boxes = np.stack([_random_boxes(rng, 40) for _ in range(3)])
+    scores = rng.uniform(0, 1, size=(3, 40, 2)).astype(np.float32)
+    batched = batched_class_nms(jnp.asarray(boxes), jnp.asarray(scores))
+    for i in range(3):
+        single = class_nms(jnp.asarray(boxes[i]), jnp.asarray(scores[i]))
+        np.testing.assert_allclose(
+            np.asarray(batched.scores)[i], np.asarray(single.scores), atol=1e-6
+        )
+
+
+def test_postprocess_end_to_end():
+    """Perfect logits around 2 anchors -> exactly those 2 detections."""
+    from bdd100k_tpu.ops import anchors as A
+
+    anchors = A.ssd_anchors(A.SSD300_FEATURE_MAPS)
+    n = anchors.shape[0]
+    loc = jnp.zeros((1, n, 4))
+    cls = np.zeros((1, n, 11), np.float32)
+    cls[..., 0] = 10.0  # background everywhere
+    cls[0, 100, 0], cls[0, 100, 3] = 0.0, 12.0
+    cls[0, 7000, 0], cls[0, 7000, 9] = 0.0, 12.0
+    det = postprocess(
+        loc, jnp.asarray(cls), anchors, PostprocessConfig(score_threshold=0.5)
+    )
+    valid = np.asarray(det.valid)[0]
+    assert valid.sum() == 2
+    got_classes = set(np.asarray(det.classes)[0][valid].tolist())
+    assert got_classes == {3, 9}
+    # boxes decode to the anchors themselves (zero deltas), clipped
+    want = np.asarray(B.clip_boxes(B.center_to_corner(anchors[jnp.array([7000, 100])])))
+    got = np.asarray(det.boxes)[0][valid]
+    got_sorted = got[np.argsort(got[:, 0])]
+    want_sorted = want[np.argsort(want[:, 0])]
+    np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-5)
+
+
+def test_postprocess_sigmoid_mode():
+    anchors = jnp.asarray([[0.5, 0.5, 0.2, 0.2], [0.2, 0.2, 0.1, 0.1]])
+    loc = jnp.zeros((1, 2, 4))
+    cls = jnp.asarray([[[8.0, 8.0, -8.0], [-8.0, 0.0, 0.0]]])  # obj, c1, c2
+    cfg = PostprocessConfig(score_mode="sigmoid", score_threshold=0.5)
+    det = postprocess(loc, cls, anchors, cfg)
+    valid = np.asarray(det.valid)[0]
+    assert valid.sum() == 1
+    assert np.asarray(det.classes)[0][valid].tolist() == [1]
