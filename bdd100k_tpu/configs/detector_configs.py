@@ -83,6 +83,34 @@ YOLO_MOBILENET_384 = DetectorConfig(
     postprocess=PostprocessConfig(score_mode="sigmoid", decode_mode="yolo"),
 )
 
+def tiny_test_config(head: str = "ssd") -> DetectorConfig:
+    """Miniature configs (64×64 input, width-0.25 MobileNet) for fast
+    compiles in tests and the multi-chip dry run."""
+    from bdd100k_tpu.ops.anchors import make_ssd_feature_maps
+
+    if head == "ssd":
+        return DetectorConfig(
+            name="ssd_tiny_64",
+            image_size=64,
+            backbone="mobilenet",
+            head="ssd",
+            width=0.25,
+            feature_maps=make_ssd_feature_maps(
+                map_sizes=(8, 4, 2), boxes_per_map=(4, 6, 4)
+            ),
+        )
+    return DetectorConfig(
+        name="yolo_tiny_64",
+        image_size=64,
+        backbone="mobilenet",
+        head="yolo",
+        width=0.25,
+        yolo_grids=(8, 4, 2),
+        yolo_priors=YOLO_BDD_PRIORS,
+        postprocess=PostprocessConfig(score_mode="sigmoid", decode_mode="yolo"),
+    )
+
+
 _CONFIGS = {
     c.name: c for c in (SSD_MOBILENET_300, SSD_VGG16_512, YOLO_MOBILENET_384)
 }

@@ -274,8 +274,16 @@ def preprocess_eval_batch(
     norm_mean: float = 0.5,
     norm_std: float = 0.5,
 ):
-    """Eval/infer path: resize + normalize only (no augment), batched."""
+    """Eval/infer path: resize + normalize only (no augment), batched.
+
+    If the input already arrives at (out_size, out_size) — e.g. the loader
+    decoded straight to model size on host — the resize folds away and this
+    is a pure normalize.
+    """
     img = images_u8.astype(jnp.float32) / 255.0
     b, h, w, c = img.shape
-    out = jax.image.resize(img, (b, out_size, out_size, c), method="linear")
-    return (out - norm_mean) / norm_std
+    if (h, w) != (out_size, out_size):
+        img = jax.image.resize(
+            img, (b, out_size, out_size, c), method="linear"
+        )
+    return (img - norm_mean) / norm_std

@@ -1,0 +1,209 @@
+"""ArrayRecord shard converter + readers (SURVEY.md §2.1 "Record converter").
+
+The reference converts images+labels to TFRecord shards for training
+throughput; the TPU-native equivalent is ArrayRecord (random-access, grain's
+native format) with msgpack-encoded records:
+
+    {"name": str, "jpeg": bytes, "boxes": [[x1,y1,x2,y2]...] float pixels,
+     "labels": [int...], "width": int, "height": int}
+
+Boxes stay in pixel corners (the BDD100K convention) and are normalized at
+read time, mirroring the JSON parser, so either source yields identical
+training examples.
+
+Two readers:
+  * `ArrayRecordDetectionDataset` — random-access, drop-in for
+    pipeline.DetectionDataset (works with make_loader's thread pool);
+  * `make_grain_loader` — a grain DataLoader over the shards with
+    multi-worker decode + per-host sharding (SURVEY.md §2.8
+    "Collective-aware input").
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from bdd100k_tpu.data.bdd100k import (
+    IMAGE_HEIGHT,
+    IMAGE_WIDTH,
+    load_bdd100k_labels,
+    pad_ground_truth,
+)
+from bdd100k_tpu.data.pipeline import Batch
+
+
+def convert_bdd100k_to_arrayrecord(
+    labels_path: str | Path,
+    image_dir: str | Path,
+    out_dir: str | Path,
+    shard_size: int = 1024,
+    image_height: int = IMAGE_HEIGHT,
+    image_width: int = IMAGE_WIDTH,
+) -> list[Path]:
+    """One-shot conversion: BDD100K JSON + JPEGs → ArrayRecord shards.
+
+    Returns the shard paths (out_dir/shard-NNNNN.array_record). Images are
+    stored as their original JPEG bytes (no re-encode); GT is denormalized
+    pixel corners exactly as parsed.
+    """
+    import msgpack
+    from array_record.python.array_record_module import ArrayRecordWriter
+
+    records = load_bdd100k_labels(labels_path)
+    image_dir = Path(image_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    paths = []
+    writer = None
+    for i, rec in enumerate(records):
+        if i % shard_size == 0:
+            if writer is not None:
+                writer.close()
+            p = out_dir / f"shard-{i // shard_size:05d}.array_record"
+            writer = ArrayRecordWriter(str(p), "group_size:1")
+            paths.append(p)
+        jpeg = (image_dir / rec["name"]).read_bytes()
+        # parser emits normalized corners; store pixels (BDD100K convention)
+        boxes_px = (
+            np.asarray(rec["boxes"], np.float32).reshape(-1, 4)
+            * np.array(
+                [image_width, image_height, image_width, image_height],
+                np.float32,
+            )
+        )
+        writer.write(
+            msgpack.packb(
+                {
+                    "name": rec["name"],
+                    "jpeg": jpeg,
+                    "boxes": boxes_px.tolist(),
+                    "labels": [int(x) for x in rec["labels"]],
+                    "width": image_width,
+                    "height": image_height,
+                }
+            )
+        )
+    if writer is not None:
+        writer.close()
+    return paths
+
+
+def _decode_record(raw: bytes, max_boxes: int, image_height: int,
+                   image_width: int) -> dict:
+    import io
+
+    import msgpack
+    from PIL import Image
+
+    rec = msgpack.unpackb(raw)
+    with Image.open(io.BytesIO(rec["jpeg"])) as im:
+        im = im.convert("RGB")
+        if im.size != (image_width, image_height):
+            im = im.resize((image_width, image_height))
+        image = np.asarray(im, dtype=np.uint8)
+    boxes_px = np.asarray(rec["boxes"], np.float32).reshape(-1, 4)
+    norm = np.array(
+        [rec["width"], rec["height"], rec["width"], rec["height"]],
+        np.float32,
+    )
+    boxes, labels, mask = pad_ground_truth(
+        boxes_px / norm, np.asarray(rec["labels"], np.int32), max_boxes
+    )
+    return {
+        "image": image,
+        "boxes": boxes,
+        "labels": labels,
+        "mask": mask,
+        "name": rec["name"],
+    }
+
+
+class ArrayRecordDetectionDataset:
+    """Random-access reader over ArrayRecord shards; drop-in for
+    pipeline.DetectionDataset (same __len__/__getitem__ contract, so
+    make_loader / prefetch_to_device work unchanged)."""
+
+    def __init__(
+        self,
+        shards: Sequence[str | Path] | str | Path,
+        max_boxes: int = 100,
+        image_height: int = IMAGE_HEIGHT,
+        image_width: int = IMAGE_WIDTH,
+    ):
+        from array_record.python.array_record_data_source import (
+            ArrayRecordDataSource,
+        )
+
+        if isinstance(shards, (str, Path)):
+            shards = sorted(Path(shards).glob("*.array_record"))
+        if not shards:
+            raise ValueError("no ArrayRecord shards found")
+        self._source = ArrayRecordDataSource([str(s) for s in shards])
+        self.max_boxes = max_boxes
+        self.image_height = image_height
+        self.image_width = image_width
+
+    def __len__(self) -> int:
+        return len(self._source)
+
+    def __getitem__(self, i: int) -> dict:
+        return _decode_record(
+            self._source[int(i)], self.max_boxes, self.image_height,
+            self.image_width,
+        )
+
+
+def make_grain_loader(
+    dataset: ArrayRecordDetectionDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_workers: int = 0,
+    num_epochs: int | None = None,
+    drop_last: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
+) -> Iterator[Batch]:
+    """grain DataLoader over the dataset: multi-worker decode, per-host
+    sharding, deterministic shuffling — the SURVEY.md §2.1 'grain
+    IndexSampler+DataLoader' input stage. Yields pipeline.Batch."""
+    import grain.python as grain
+
+    class _Decode(grain.MapTransform):
+        def __init__(self, ds):
+            self._ds = ds
+
+        def map(self, i: int) -> dict:
+            return self._ds[i]
+
+    sampler = grain.IndexSampler(
+        num_records=len(dataset),
+        shuffle=shuffle,
+        seed=seed,
+        num_epochs=num_epochs,
+        shard_options=grain.ShardOptions(
+            shard_index=process_index,
+            shard_count=process_count,
+            drop_remainder=True,
+        ),
+    )
+    loader = grain.DataLoader(
+        data_source=np.arange(len(dataset)),
+        sampler=sampler,
+        operations=[
+            _Decode(dataset),
+            grain.Batch(batch_size=batch_size, drop_remainder=drop_last),
+        ],
+        worker_count=num_workers,
+    )
+    for b in loader:
+        yield Batch(
+            images=np.asarray(b["image"]),
+            boxes=np.asarray(b["boxes"]),
+            labels=np.asarray(b["labels"]),
+            mask=np.asarray(b["mask"]),
+        )

@@ -1,0 +1,125 @@
+"""Eval driver: mAP@0.5 over a val split (SURVEY.md §2.5, §3.2).
+
+TPU-native eval stack: pjit(forward → fused on-device decode/score/NMS),
+then only fixed detection slots cross to host for the tiny mAP accumulation
+— unlike the reference, which fetches raw per-anchor tensors and runs NMS in
+host NumPy per image.
+
+Usage:
+    python -m bdd100k_tpu.evaluate --config ssd_vgg16_512 \
+        --labels val.json --image_dir images/val --ckpt_dir runs/ssd512
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from bdd100k_tpu.configs import BDD100K_CLASSES, TrainConfig, get_config
+from bdd100k_tpu.data.pipeline import (
+    DetectionDataset,
+    make_loader,
+    prefetch_to_device,
+)
+from bdd100k_tpu.data.synthetic import generate_synthetic_dataset
+from bdd100k_tpu.models.detector import build_detector
+from bdd100k_tpu.ops.map_metric import DetectionEvaluator
+from bdd100k_tpu.parallel.mesh import batch_sharding, make_mesh
+from bdd100k_tpu.parallel.train_step import create_train_state, make_eval_step
+from bdd100k_tpu.utils.checkpoint import CheckpointManager
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="BDD100K detector eval (TPU)")
+    p.add_argument("--config", default="ssd_mobilenet_300")
+    p.add_argument("--labels", default=None)
+    p.add_argument("--image_dir", default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--synthetic_dir", default="/tmp/bdd_synth_val")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--max_boxes", type=int, default=100)
+    p.add_argument("--ckpt_dir", default=None, help="restore latest ckpt")
+    p.add_argument("--iou_threshold", type=float, default=0.5)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--out", default=None, help="write results JSON here")
+    p.add_argument("--mesh_data", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def run_eval(bundle, state, dataset, args, mesh) -> dict:
+    eval_step = make_eval_step(bundle, mesh=mesh)
+    loader = make_loader(
+        dataset, args.batch_size, shuffle=False, num_epochs=1,
+        drop_last=False, num_workers=args.num_workers,
+    )
+    batches = prefetch_to_device(loader, size=2, sharding=batch_sharding(mesh))
+    evaluator = DetectionEvaluator(
+        bundle.config.num_classes, list(BDD100K_CLASSES)
+    )
+    n_images = len(dataset)
+    seen = 0
+    t0 = time.monotonic()
+    for batch in batches:
+        det = eval_step(state.params, state.batch_stats, batch.images)
+        det = jax.device_get(det)
+        host = jax.device_get((batch.boxes, batch.labels, batch.mask))
+        for i in range(det.boxes.shape[0]):
+            if seen >= n_images:
+                break  # padded tail of final partial batch
+            evaluator.add_image(
+                det.boxes[i], det.scores[i], det.classes[i],
+                host[0][i], host[1][i],
+                det_valid=det.valid[i], gt_mask=host[2][i],
+            )
+            seen += 1
+    dt = time.monotonic() - t0
+    result = evaluator.compute(iou_threshold=args.iou_threshold)
+    result["images_per_sec"] = seen / max(dt, 1e-9)
+    result["num_images"] = seen
+    return result
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    det_cfg = get_config(args.config)
+    mesh = make_mesh(num_data=args.mesh_data)
+    bundle = build_detector(det_cfg)
+    state = create_train_state(
+        bundle, TrainConfig(), jax.random.PRNGKey(0), mesh=mesh
+    )
+    if args.ckpt_dir:
+        state, step = CheckpointManager(args.ckpt_dir).restore_latest(state)
+        print(f"restored step {step}")
+
+    if args.synthetic:
+        labels = generate_synthetic_dataset(
+            args.synthetic_dir, num_images=args.synthetic, seed=1, split="val"
+        )
+        dataset = DetectionDataset.from_bdd100k(
+            labels, Path(args.synthetic_dir) / "images" / "val",
+            max_boxes=args.max_boxes,
+        )
+    else:
+        if not args.labels or not args.image_dir:
+            raise SystemExit("need --labels + --image_dir (or --synthetic N)")
+        dataset = DetectionDataset.from_bdd100k(
+            args.labels, args.image_dir, max_boxes=args.max_boxes
+        )
+
+    result = run_eval(bundle, state, dataset, args, mesh)
+    print(f"\nmAP@{args.iou_threshold}: {result['mAP']:.4f} "
+          f"({result['images_per_sec']:.1f} imgs/sec)")
+    for name, ap in result["per_class"].items():
+        print(f"  {name:>14}: {'—' if ap is None else f'{ap:.4f}'}")
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

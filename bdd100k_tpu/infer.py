@@ -1,0 +1,226 @@
+"""Inference / demo driver (SURVEY.md §2.6, §3.3).
+
+Three modes mirroring the reference's infer + video-demo scripts:
+  * single image  → boxes/classes/scores (+ optional drawn output)
+  * directory     → batched inference over all images
+  * video         → per-frame streaming demo with continuous batching
+                    (BASELINE config 5): frames accumulate into a batch
+                    until full or the queue drains, then one device call.
+
+The whole postprocess (decode→score→NMS) runs on device; the host only
+draws boxes.
+
+Usage:
+    python -m bdd100k_tpu.infer --config ssd_mobilenet_300 \
+        --ckpt_dir runs/ssd300 --image road.jpg --out_dir out/
+    python -m bdd100k_tpu.infer --video drive.mp4 --out_dir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bdd100k_tpu.configs import BDD100K_CLASSES, TrainConfig, get_config
+from bdd100k_tpu.data.augment import preprocess_eval_batch
+from bdd100k_tpu.models.detector import build_detector
+from bdd100k_tpu.parallel.train_step import create_train_state
+from bdd100k_tpu.utils.checkpoint import CheckpointManager
+from bdd100k_tpu.utils.viz import draw_detections
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="BDD100K detector inference (TPU)")
+    p.add_argument("--config", default="ssd_mobilenet_300")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--image", default=None)
+    p.add_argument("--image_dir", default=None)
+    p.add_argument("--video", default=None)
+    p.add_argument("--out_dir", default=None, help="write drawn outputs here")
+    p.add_argument("--score_threshold", type=float, default=0.4,
+                   help="demo-mode display threshold")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="max continuous-batch size for video/dir modes")
+    return p.parse_args(argv)
+
+
+class Predictor:
+    """Compiled forward+postprocess at a fixed batch size, padding-safe."""
+
+    def __init__(self, bundle, state, batch_size: int = 1):
+        self.bundle = bundle
+        self.state = state
+        self.batch_size = batch_size
+
+        def fwd(params, batch_stats, images_u8):
+            images = preprocess_eval_batch(images_u8, bundle.config.image_size)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            loc, cls = bundle.model.apply(variables, images, train=False)
+            return bundle.postprocess(loc, cls)
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, frames_u8: np.ndarray):
+        """frames (N≤batch_size, H, W, 3) uint8 → host Detections for N."""
+        n = frames_u8.shape[0]
+        if n < self.batch_size:  # pad to the compiled batch shape
+            pad = np.repeat(frames_u8[-1:], self.batch_size - n, axis=0)
+            frames_u8 = np.concatenate([frames_u8, pad], axis=0)
+        det = self._fwd(
+            self.state.params, self.state.batch_stats, jnp.asarray(frames_u8)
+        )
+        det = jax.device_get(det)
+        return jax.tree.map(lambda x: x[:n], det)
+
+
+def load_predictor(args, batch_size: int) -> Predictor:
+    det_cfg = get_config(args.config)
+    bundle = build_detector(det_cfg)
+    state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
+    if args.ckpt_dir:
+        state, step = CheckpointManager(args.ckpt_dir).restore_latest(state)
+        print(f"restored step {step}")
+    return Predictor(bundle, state, batch_size)
+
+
+def _read_image(path) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def _emit(args, name, frame, det_i, out_dir):
+    keep = det_i["valid"] & (det_i["scores"] >= args.score_threshold)
+    for box, score, cls in zip(
+        det_i["boxes"][keep], det_i["scores"][keep], det_i["classes"][keep]
+    ):
+        print(
+            f"{name}: {BDD100K_CLASSES[int(cls) - 1]} {score:.3f} "
+            f"[{box[0]:.3f} {box[1]:.3f} {box[2]:.3f} {box[3]:.3f}]"
+        )
+    if out_dir:
+        drawn = draw_detections(
+            frame, det_i["boxes"], det_i["scores"], det_i["classes"],
+            det_i["valid"], score_threshold=args.score_threshold,
+        )
+        from PIL import Image
+
+        Image.fromarray(drawn).save(Path(out_dir) / f"det_{Path(name).name}")
+
+
+def _det_slice(det, i) -> dict:
+    return {
+        "boxes": det.boxes[i], "scores": det.scores[i],
+        "classes": det.classes[i], "valid": det.valid[i],
+    }
+
+
+def run_single(args):
+    predictor = load_predictor(args, batch_size=1)
+    frame = _read_image(args.image)
+    t0 = time.monotonic()
+    det = predictor(frame[None])
+    latency = time.monotonic() - t0
+    _emit(args, args.image, frame, _det_slice(det, 0), args.out_dir)
+    print(f"latency (incl. first compile): {latency * 1e3:.1f} ms")
+    # warm path latency
+    t0 = time.monotonic()
+    predictor(frame[None])
+    print(f"warm latency: {(time.monotonic() - t0) * 1e3:.1f} ms")
+
+
+def run_dir(args):
+    paths = sorted(
+        p for p in Path(args.image_dir).iterdir()
+        if p.suffix.lower() in (".jpg", ".jpeg", ".png")
+    )
+    predictor = load_predictor(args, batch_size=args.batch_size)
+    t0 = time.monotonic()
+    n = 0
+    for start in range(0, len(paths), args.batch_size):
+        chunk = paths[start : start + args.batch_size]
+        frames = np.stack([_read_image(p) for p in chunk])
+        det = predictor(frames)
+        for i, p in enumerate(chunk):
+            _emit(args, str(p), frames[i], _det_slice(det, i), args.out_dir)
+        n += len(chunk)
+    dt = time.monotonic() - t0
+    print(f"{n} images in {dt:.2f}s = {n / dt:.1f} imgs/sec (incl. compile)")
+
+
+def run_video(args):
+    """Streaming demo: continuous batched inference over decoded frames."""
+    import cv2
+
+    cap = cv2.VideoCapture(args.video)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open {args.video}")
+    predictor = load_predictor(args, batch_size=args.batch_size)
+    writer = None
+    if args.out_dir:
+        Path(args.out_dir).mkdir(parents=True, exist_ok=True)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        writer = cv2.VideoWriter(
+            str(Path(args.out_dir) / "det_video.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h),
+        )
+    n, t0 = 0, time.monotonic()
+    pending: list[np.ndarray] = []
+
+    def flush():
+        nonlocal n
+        if not pending:
+            return
+        frames = np.stack(pending)
+        det = predictor(frames)
+        for i in range(len(pending)):
+            if writer is not None:
+                drawn = draw_detections(
+                    pending[i], det.boxes[i], det.scores[i], det.classes[i],
+                    det.valid[i], score_threshold=args.score_threshold,
+                )
+                writer.write(cv2.cvtColor(drawn, cv2.COLOR_RGB2BGR))
+        n += len(pending)
+        pending.clear()
+
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        pending.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        if len(pending) >= args.batch_size:
+            flush()
+    flush()
+    cap.release()
+    if writer is not None:
+        writer.release()
+    dt = time.monotonic() - t0
+    print(f"{n} frames in {dt:.2f}s = {n / dt:.1f} fps (incl. compile)")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.out_dir:
+        Path(args.out_dir).mkdir(parents=True, exist_ok=True)
+    if args.image:
+        run_single(args)
+    elif args.image_dir:
+        run_dir(args)
+    elif args.video:
+        run_video(args)
+    else:
+        raise SystemExit("need one of --image / --image_dir / --video")
+
+
+if __name__ == "__main__":
+    main()

@@ -149,3 +149,64 @@ def batched_class_nms(
             max_detections,
         )
     )(boxes, class_scores)
+
+
+def batched_class_nms_pallas(
+    boxes: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.01,
+    per_class_topk: int = 200,
+    max_detections: int = 200,
+    interpret: bool = False,
+) -> Detections:
+    """Same keep decisions as :func:`batched_class_nms`, with the greedy
+    suppression chain running as a Pallas VMEM kernel (ops.pallas_nms).
+
+    XLA keeps what it does best (score threshold, per-class lax.top_k
+    preselect, final cross-class top-k); the kernel takes the k-step
+    sequential part. Exact agreement with the jnp oracle is asserted in
+    tests (SURVEY.md §4.2).
+    """
+    from bdd100k_tpu.ops.pallas_nms import pallas_greedy_suppress
+
+    b, n, num_classes = class_scores.shape
+    k = min(per_class_topk, n)
+
+    scores_bcn = jnp.swapaxes(class_scores, 1, 2)  # (B, C, N)
+    scores_bcn = jnp.where(scores_bcn > score_threshold, scores_bcn, 0.0)
+    top_scores, idx = jax.lax.top_k(scores_bcn, k=k)  # (B, C, k)
+    cand_boxes = jnp.take_along_axis(
+        jnp.broadcast_to(boxes[:, None], (b, num_classes, n, 4)),
+        idx[..., None],
+        axis=2,
+    )  # (B, C, k, 4)
+    valid = top_scores > 0.0
+
+    keep = pallas_greedy_suppress(
+        cand_boxes, valid, iou_threshold, interpret=interpret
+    )  # (B, C, k)
+
+    class_ids = jnp.broadcast_to(
+        jnp.arange(1, num_classes + 1, dtype=jnp.int32)[None, :, None],
+        top_scores.shape,
+    )
+    flat_boxes = cand_boxes.reshape(b, -1, 4)
+    flat_scores = jnp.where(keep, top_scores, 0.0).reshape(b, -1)
+    flat_classes = class_ids.reshape(b, -1)
+    if flat_scores.shape[1] < max_detections:  # tiny inputs: pad candidates
+        pad = max_detections - flat_scores.shape[1]
+        flat_boxes = jnp.pad(flat_boxes, ((0, 0), (0, pad), (0, 0)))
+        flat_scores = jnp.pad(flat_scores, ((0, 0), (0, pad)))
+        flat_classes = jnp.pad(flat_classes, ((0, 0), (0, pad)))
+
+    out_scores, sel = jax.lax.top_k(flat_scores, k=max_detections)
+    out_valid = out_scores > 0.0
+    return Detections(
+        boxes=jnp.take_along_axis(flat_boxes, sel[..., None], axis=1),
+        scores=out_scores,
+        classes=jnp.where(
+            out_valid, jnp.take_along_axis(flat_classes, sel, axis=1), 0
+        ),
+        valid=out_valid,
+    )

@@ -38,6 +38,9 @@ class PostprocessConfig:
         box_ops.VARIANCE_CENTER,
         box_ops.VARIANCE_SIZE,
     )
+    # NMS backend: "auto" → Pallas kernel on TPU, pure-XLA elsewhere;
+    # "xla" | "pallas" force one (both produce identical keep decisions).
+    nms_impl: str = "auto"
 
 
 def compute_scores(cls_preds: jnp.ndarray, score_mode: str) -> jnp.ndarray:
@@ -78,6 +81,20 @@ def postprocess(
         decoded = box_ops.decode_boxes(loc_preds, anchors_center, config.variances)
     decoded = box_ops.clip_boxes(decoded)
     scores = compute_scores(cls_preds, config.score_mode)
+    impl = config.nms_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from bdd100k_tpu.ops.nms import batched_class_nms_pallas
+
+        return batched_class_nms_pallas(
+            decoded,
+            scores,
+            iou_threshold=config.iou_threshold,
+            score_threshold=config.score_threshold,
+            per_class_topk=config.per_class_topk,
+            max_detections=config.max_detections,
+        )
     return batched_class_nms(
         decoded,
         scores,

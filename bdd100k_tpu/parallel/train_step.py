@@ -1,0 +1,205 @@
+"""pjit train/eval steps: ONE compiled program per step (SURVEY.md §3.5).
+
+train: device batch (uint8 frames + padded GT) → fused augment → model fwd
+→ batched match+mine → loss → grad → (compiler-inserted) all-reduce over
+'data' → optimizer update. Zero host math per step — the TPU-native inverse
+of the reference's sess.run feed/fetch loop (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from bdd100k_tpu.configs.train_configs import TrainConfig
+from bdd100k_tpu.data.augment import (
+    AugmentConfig,
+    augment_batch,
+    preprocess_eval_batch,
+)
+from bdd100k_tpu.models.detector import DetectorBundle
+from bdd100k_tpu.models.losses import LossBreakdown, ssd_loss, yolo_loss
+from bdd100k_tpu.ops import boxes as box_ops
+from bdd100k_tpu.ops.matching import encode_targets
+from bdd100k_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """Warmup → piecewise decay (the reference-style LR plan, SURVEY.md §2.4)."""
+    decay_points = {}
+    for frac, d in zip(cfg.lr_boundaries, cfg.lr_decays):
+        decay_points[int(frac * cfg.total_steps)] = d
+    piecewise = optax.piecewise_constant_schedule(cfg.learning_rate, decay_points)
+    if cfg.warmup_steps <= 0:
+        return piecewise
+    warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    return optax.join_schedules([warmup, piecewise], [cfg.warmup_steps])
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(cfg)
+    if cfg.optimizer == "momentum":
+        opt = optax.sgd(schedule, momentum=cfg.momentum, nesterov=False)
+    elif cfg.optimizer == "adam":
+        opt = optax.adam(schedule)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    chain = [optax.clip_by_global_norm(cfg.grad_clip_norm)]
+    if cfg.weight_decay > 0 and cfg.optimizer == "momentum":
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(opt)
+    return optax.chain(*chain)
+
+
+def create_train_state(
+    bundle: DetectorBundle,
+    cfg: TrainConfig,
+    rng: jax.Array,
+    mesh=None,
+) -> TrainState:
+    variables = bundle.init(rng)
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+    if mesh is not None:  # replicate across the mesh for pure DP
+        state = jax.device_put(state, replicated_sharding(mesh))
+    return state
+
+
+def detection_loss(
+    bundle: DetectorBundle,
+    loc_preds: jnp.ndarray,
+    cls_preds: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+) -> LossBreakdown:
+    """Head-appropriate loss over the batched matcher output."""
+    cfg = bundle.config
+    match = encode_targets(
+        gt_boxes, gt_labels, gt_mask, bundle.anchors, cfg.match_threshold
+    )
+    if cfg.head == "ssd":
+        return ssd_loss(loc_preds, cls_preds, match, cfg.neg_pos_ratio)
+    # YOLO: σ-space targets from each anchor's matched GT box
+    matched_boxes = jnp.take_along_axis(
+        gt_boxes, match.matched_gt[..., None], axis=1
+    )  # (B, A, 4)
+    sigma_targets = box_ops.yolo_encode_boxes(
+        matched_boxes, bundle.anchors, bundle.cell_sizes
+    )
+    return yolo_loss(
+        loc_preds, cls_preds, match, sigma_targets, cfg.neg_pos_ratio
+    )
+
+
+def make_train_step(
+    bundle: DetectorBundle,
+    augment_cfg: AugmentConfig | None = None,
+    mesh=None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    step(state, rng, images_u8, gt_boxes, gt_labels, gt_mask)
+      -> (new_state, metrics dict)
+
+    If `augment_cfg` is given, images are native-resolution uint8 frames and
+    the fused augment runs inside this same program; otherwise images are
+    already preprocessed float (S, S, 3).
+    """
+    if augment_cfg is None:
+        augment_cfg = AugmentConfig(out_size=bundle.config.image_size)
+
+    def step(state: TrainState, rng, images, gt_boxes, gt_labels, gt_mask):
+        if images.dtype == jnp.uint8:
+            images, gt_boxes, gt_labels, gt_mask = augment_batch(
+                rng, images, gt_boxes, gt_labels, gt_mask, augment_cfg
+            )
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                (loc, cls), updates = bundle.model.apply(
+                    variables, images, train=True, mutable=["batch_stats"]
+                )
+                new_stats = updates["batch_stats"]
+            else:
+                loc, cls = bundle.model.apply(variables, images, train=True)
+                new_stats = state.batch_stats
+            lb = detection_loss(
+                bundle, loc, cls, gt_boxes, gt_labels, gt_mask
+            )
+            return lb.total, (lb, new_stats)
+
+        (total, (lb, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        metrics = {
+            "loss": total,
+            "conf_loss": lb.conf,
+            "loc_loss": lb.loc,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, data, data, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(bundle: DetectorBundle, mesh=None) -> Callable:
+    """fwd + fused postprocess; returns fixed Detections slots only
+    (SURVEY.md §3.5 eval stack)."""
+
+    def step(params, batch_stats, images):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        if images.dtype == jnp.uint8:
+            images = preprocess_eval_batch(images, bundle.config.image_size)
+        loc, cls = bundle.model.apply(variables, images, train=False)
+        return bundle.postprocess(loc, cls)
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step, in_shardings=(repl, repl, data), out_shardings=data
+    )

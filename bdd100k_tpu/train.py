@@ -1,0 +1,170 @@
+"""Training driver (SURVEY.md §2.4, §3.1) — CLI mirrors the reference's
+train script flags (--data_dir, --batch_size, --ckpt ... per BASELINE.json:5
+"Public API mirrors the reference train/eval/infer scripts").
+
+The hot loop is ONE compiled pjit program per step (fused augment → forward
+→ match+mine → loss → grad all-reduce → update); the host only feeds decoded
+JPEG batches through the double-buffered prefetcher.
+
+Usage:
+    python -m bdd100k_tpu.train --config ssd_mobilenet_300 \
+        --labels /data/labels/train.json --image_dir /data/images/train \
+        --batch_size 32 --total_steps 120000 --ckpt_dir runs/ssd300
+    # air-gapped smoke run on generated data:
+    python -m bdd100k_tpu.train --config ssd_mobilenet_300 --synthetic 64 \
+        --total_steps 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from bdd100k_tpu.configs import TrainConfig, get_config
+from bdd100k_tpu.data.augment import AugmentConfig
+from bdd100k_tpu.data.pipeline import (
+    DetectionDataset,
+    make_loader,
+    prefetch_to_device,
+)
+from bdd100k_tpu.data.synthetic import generate_synthetic_dataset
+from bdd100k_tpu.models.detector import build_detector
+from bdd100k_tpu.parallel.mesh import batch_sharding, make_mesh
+from bdd100k_tpu.parallel.train_step import create_train_state, make_train_step
+from bdd100k_tpu.utils.checkpoint import CheckpointManager
+from bdd100k_tpu.utils.metrics import MetricsLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="BDD100K detector training (TPU)")
+    p.add_argument("--config", default="ssd_mobilenet_300")
+    p.add_argument("--labels", default=None, help="BDD100K labels JSON")
+    p.add_argument("--image_dir", default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic images instead of real data")
+    p.add_argument("--synthetic_dir", default="/tmp/bdd_synth")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--total_steps", type=int, default=120_000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--optimizer", default="momentum")
+    p.add_argument("--warmup_steps", type=int, default=500)
+    p.add_argument("--max_boxes", type=int, default=100)
+    p.add_argument("--ckpt_dir", default="runs/default")
+    p.add_argument("--checkpoint_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--no_resume", dest="resume", action="store_false")
+    p.add_argument("--profile_steps", default=None,
+                   help="'start,stop' step range to capture a jax profiler trace")
+    return p.parse_args(argv)
+
+
+def make_dataset(args) -> DetectionDataset:
+    if args.synthetic:
+        labels = generate_synthetic_dataset(
+            args.synthetic_dir, num_images=args.synthetic, seed=args.seed
+        )
+        return DetectionDataset.from_bdd100k(
+            labels, Path(args.synthetic_dir) / "images" / "train",
+            max_boxes=args.max_boxes,
+        )
+    if not args.labels or not args.image_dir:
+        raise SystemExit("need --labels + --image_dir (or --synthetic N)")
+    return DetectionDataset.from_bdd100k(
+        args.labels, args.image_dir, max_boxes=args.max_boxes
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    det_cfg = get_config(args.config)
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size,
+        max_boxes=args.max_boxes,
+        optimizer=args.optimizer,
+        learning_rate=args.lr,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.total_steps,
+        checkpoint_every=args.checkpoint_every,
+        log_every=args.log_every,
+        seed=args.seed,
+    )
+
+    mesh = make_mesh(num_data=args.mesh_data)
+    print(f"mesh: {mesh.shape} over {len(mesh.devices.ravel())} devices")
+    bundle = build_detector(det_cfg)
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = create_train_state(bundle, train_cfg, init_rng, mesh=mesh)
+
+    ckpt = CheckpointManager(args.ckpt_dir, keep=train_cfg.keep_checkpoints)
+    start_step = 0
+    if args.resume:
+        state, start_step = ckpt.restore_latest(state)
+        if start_step:
+            print(f"resumed from step {start_step}")
+
+    dataset = make_dataset(args)
+    print(f"dataset: {len(dataset)} images")
+    loader = make_loader(
+        dataset,
+        train_cfg.batch_size,
+        shuffle=True,
+        seed=train_cfg.seed,
+        num_workers=args.num_workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    batches = prefetch_to_device(loader, size=2, sharding=batch_sharding(mesh))
+
+    step_fn = make_train_step(
+        bundle, AugmentConfig(out_size=det_cfg.image_size), mesh=mesh
+    )
+    logger = MetricsLogger(args.ckpt_dir, "train")
+    prof = None
+    if args.profile_steps:
+        prof = tuple(int(x) for x in args.profile_steps.split(","))
+
+    step = start_step
+    t_last = time.monotonic()
+    imgs_since = 0
+    for batch in batches:
+        if step >= train_cfg.total_steps:
+            break
+        if prof and step == prof[0]:
+            jax.profiler.start_trace(str(Path(args.ckpt_dir) / "profile"))
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = step_fn(
+            state, step_rng, batch.images, batch.boxes, batch.labels, batch.mask
+        )
+        step += 1
+        imgs_since += train_cfg.batch_size
+        if prof and step == prof[1]:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+        if step % train_cfg.log_every == 0 or step == start_step + 1:
+            metrics = jax.device_get(metrics)
+            now = time.monotonic()
+            metrics["imgs_per_sec"] = imgs_since / max(now - t_last, 1e-9)
+            t_last, imgs_since = now, 0
+            logger.log(step, metrics)
+        if step % train_cfg.checkpoint_every == 0:
+            ckpt.save(step, state)
+    ckpt.save(step, state)
+    ckpt.wait()
+    logger.close()
+    print(f"done at step {step}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Checkpoint/resume via orbax (SURVEY.md §5.4).
+
+Reference mechanism: `tf.train.Saver` keep-latest-N + restore-latest. TPU-
+native rebuild: async, sharding-aware orbax checkpoints of
+{params, batch_stats, opt_state, step}; crash recovery = restart + auto-
+resume from latest step (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over ocp.CheckpointManager for the TrainState pytree."""
+
+    def __init__(
+        self,
+        directory: str | Path,
+        keep: int = 5,
+        async_save: bool = True,
+    ):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep, enable_async_checkpointing=async_save
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any) -> None:
+        """Async-save the state pytree (non-optax-fn leaves only)."""
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+
+    def restore_latest(self, state: Any) -> tuple[Any, int]:
+        """Restore into the abstract structure of `state`; returns
+        (state, step); (state, 0) if no checkpoint exists."""
+        latest = self._mgr.latest_step()
+        if latest is None:
+            return state, 0
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        }
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        restored = self._mgr.restore(
+            latest, args=ocp.args.StandardRestore(abstract)
+        )
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        return state, int(latest)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

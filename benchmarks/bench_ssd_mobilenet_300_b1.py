@@ -1,0 +1,64 @@
+"""BASELINE config 1: SSD-MobileNet 300×300, single BDD100K image, batch=1
+inference including NMS — the reference's single-image infer script path
+(SURVEY.md §2.6). Reports p50 latency (BASELINE.json:2 "p50 latency").
+
+The compiled program is preprocess(720p→300) → backbone → heads → fused
+on-device decode/score/NMS; the host supplies one decoded frame.
+
+Run: python benchmarks/bench_ssd_mobilenet_300_b1.py [--iters 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from benchmarks.common import device_info, emit, log, timed_loop  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=50)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bdd100k_tpu.configs import get_config
+    from bdd100k_tpu.data.augment import preprocess_eval_batch
+    from bdd100k_tpu.models.detector import build_detector
+
+    log(f"device: {device_info()}")
+    bundle = build_detector(get_config("ssd_mobilenet_300"))
+    variables = bundle.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def infer(variables, image_u8):
+        images = preprocess_eval_batch(image_u8, bundle.config.image_size)
+        loc, cls = bundle.model.apply(variables, images, train=False)
+        return bundle.postprocess(loc, cls)
+
+    frame = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (1, 720, 1280, 3), np.uint8)
+    )
+    total, p50, _ = timed_loop(lambda: infer(variables, frame), args.iters)
+
+    # Model-class speed anchor: SSD300 runs 59 FPS batch=1 on Titan X
+    # (BASELINE.md / SSD paper) → p50 ≤ 16.9 ms is parity.
+    p50_ms = p50 * 1e3
+    emit(
+        "ssd_mobilenet_300 batch=1 p50 latency (incl. NMS)",
+        p50_ms,
+        "ms",
+        vs_baseline=(1000.0 / 59.0) / p50_ms,
+        imgs_per_sec=round(args.iters / total, 2),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""BASELINE config 3: YOLO-style multi-scale head, batch=64 training step
+with anchor matching + hard-negative mining (SURVEY.md §2.2-2.3).
+
+Measures the pure device step (fused augment → forward → batched match+mine
+→ loss → grad → update) in steady state on resident batches — the compute
+half of the training pipeline; config 4 measures the full epoch with input.
+
+Run: python benchmarks/bench_yolo_train_b64.py [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from benchmarks.common import device_info, emit, log, timed_loop  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bdd100k_tpu.configs import TrainConfig, get_config
+    from bdd100k_tpu.data.augment import AugmentConfig
+    from bdd100k_tpu.models.detector import build_detector
+    from bdd100k_tpu.parallel.mesh import make_mesh, shard_batch
+    from bdd100k_tpu.parallel.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    log(f"device: {device_info()}")
+    det_cfg = get_config("yolo_mobilenet_384")
+    cfg = TrainConfig(batch_size=args.batch_size, max_boxes=100)
+    mesh = make_mesh()
+    bundle = build_detector(det_cfg)
+    state = create_train_state(bundle, cfg, jax.random.PRNGKey(0), mesh=mesh)
+    # donate=False so the same state can be fed every iteration
+    step_fn = make_train_step(
+        bundle, AugmentConfig(out_size=det_cfg.image_size), mesh=mesh,
+        donate=False,
+    )
+
+    rs = np.random.RandomState(0)
+    b, m = args.batch_size, cfg.max_boxes
+    images = rs.randint(0, 255, (b, 720, 1280, 3), np.uint8)
+    boxes = np.zeros((b, m, 4), np.float32)
+    labels = np.zeros((b, m), np.int32)
+    mask = np.zeros((b, m), bool)
+    n_obj = 20
+    for i in range(b):
+        x1 = rs.uniform(0, 0.8, n_obj)
+        y1 = rs.uniform(0, 0.8, n_obj)
+        w = rs.uniform(0.02, 0.2, n_obj)
+        h = rs.uniform(0.02, 0.2, n_obj)
+        boxes[i, :n_obj] = np.stack(
+            [x1, y1, np.minimum(x1 + w, 1), np.minimum(y1 + h, 1)], -1
+        )
+        labels[i, :n_obj] = rs.randint(1, 11, n_obj)
+        mask[i, :n_obj] = True
+    batch = shard_batch(
+        (jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(labels),
+         jnp.asarray(mask)),
+        mesh,
+    )
+    rng = jax.random.PRNGKey(1)
+
+    def run():
+        _, metrics = step_fn(state, rng, *batch)
+        return metrics
+
+    total, p50, _ = timed_loop(run, args.iters)
+    ips = args.batch_size * args.iters / total
+    # No published reference number for this config (BASELINE.md: "published
+    # none"); report vs the BASELINE.json:5 throughput share for this chip
+    # count as the comparable scale.
+    n_dev = len(jax.devices())
+    emit(
+        "yolo_mobilenet_384 batch=64 train-step images/sec (match+mine incl.)",
+        ips,
+        "images/sec",
+        vs_baseline=ips / (625.0 * n_dev),
+        p50_step_ms=round(p50 * 1e3, 2),
+    )
+
+
+if __name__ == "__main__":
+    main()

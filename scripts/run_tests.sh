@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Test runner with stall mitigation.
+#
+# On this box, JAX processes intermittently deadlock at startup (all threads
+# in futex_wait a few seconds in — PJRT plugin init race). The fix is simply
+# to kill and retry: a healthy run makes steady CPU progress; a stalled one
+# burns <10s of CPU and never recovers.
+#
+# Usage: scripts/run_tests.sh [pytest args...]
+set -u
+ATTEMPTS=${ATTEMPTS:-3}
+TIMEOUT=${TIMEOUT:-560}
+
+for i in $(seq 1 "$ATTEMPTS"); do
+  timeout -s KILL "$TIMEOUT" python -m pytest "$@"
+  code=$?
+  if [ "$code" -ne 137 ] && [ "$code" -ne 124 ]; then
+    exit "$code"   # real pass/fail — don't retry test failures
+  fi
+  echo "=== attempt $i timed out (startup stall?); retrying ===" >&2
+  pkill -9 -f pytest 2>/dev/null
+  sleep 2
+done
+echo "=== all $ATTEMPTS attempts stalled ===" >&2
+exit 124

@@ -1,0 +1,81 @@
+"""Pretrained-backbone import converter tests (SURVEY.md §2.3, §5.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bdd100k_tpu.configs.detector_configs import tiny_test_config
+from bdd100k_tpu.models.detector import build_detector
+from bdd100k_tpu.models.vgg import VGG16Backbone
+from bdd100k_tpu.utils.pretrained import (
+    convert_torch_vgg16,
+    flatten_tree,
+    load_params_npz,
+    save_params_npz,
+    unflatten_into,
+)
+
+
+def test_npz_backbone_transplant(tmp_path):
+    """Train-one-config → seed-another: backbone params move bit-exact,
+    heads keep their fresh init."""
+    bundle = build_detector(tiny_test_config("ssd"), dtype=jnp.float32)
+    donor = bundle.init(jax.random.PRNGKey(1))
+    path = tmp_path / "backbone.npz"
+    save_params_npz(donor["params"], path, subtree="backbone")
+
+    fresh = bundle.init(jax.random.PRNGKey(2))
+    merged = load_params_npz(fresh, path, subtree="params/backbone")
+
+    d = flatten_tree(donor["params"]["backbone"])
+    m = flatten_tree(merged["params"]["backbone"])
+    for k in d:
+        np.testing.assert_array_equal(d[k], m[k])
+    # head params untouched (still from key 2)
+    f_head = flatten_tree(fresh["params"]["head0"])
+    m_head = flatten_tree(merged["params"]["head0"])
+    for k in f_head:
+        np.testing.assert_array_equal(f_head[k], m_head[k])
+
+
+def test_unflatten_shape_check():
+    tree = {"a": np.zeros((2, 3))}
+    try:
+        unflatten_into(tree, {"a": np.zeros((3, 2))})
+    except ValueError as e:
+        assert "shape mismatch" in str(e)
+    else:
+        raise AssertionError("expected shape mismatch error")
+
+
+def test_torch_vgg16_mapping_shapes():
+    """A synthetic torchvision-layout state_dict maps onto VGG16Backbone
+    with exact shape agreement for every conv in conv1_1..conv5_3."""
+    chans = [
+        (3, 64), (64, 64),
+        (64, 128), (128, 128),
+        (128, 256), (256, 256), (256, 256),
+        (256, 512), (512, 512), (512, 512),
+        (512, 512), (512, 512), (512, 512),
+    ]
+    idx = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    rng = np.random.RandomState(0)
+    sd = {}
+    for i, (cin, cout) in zip(idx, chans):
+        sd[f"features.{i}.weight"] = rng.randn(cout, cin, 3, 3).astype(
+            np.float32
+        )
+        sd[f"features.{i}.bias"] = rng.randn(cout).astype(np.float32)
+
+    flat = convert_torch_vgg16(sd)
+    model = VGG16Backbone(dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    merged = unflatten_into(variables["params"], flat)
+    # every mapped conv now equals the (transposed) torch tensor
+    np.testing.assert_allclose(
+        merged["block3"]["conv2"]["kernel"],
+        np.transpose(sd["features.12.weight"], (2, 3, 1, 0)),
+    )
+    assert merged["block5"]["conv3"]["bias"].shape == (512,)

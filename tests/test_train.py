@@ -1,0 +1,184 @@
+"""Training integration tests (SURVEY.md §4.2): overfit-one-batch, DP
+consistency on the 8-device fake mesh, checkpoint save→restore."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bdd100k_tpu.configs import TrainConfig
+from bdd100k_tpu.configs.detector_configs import tiny_test_config
+from bdd100k_tpu.data.augment import AugmentConfig
+from bdd100k_tpu.models.detector import build_detector
+from bdd100k_tpu.parallel.mesh import make_mesh, shard_batch
+from bdd100k_tpu.parallel.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    make_lr_schedule,
+)
+
+
+def _toy_train_batch(b=8, m=8, seed=0):
+    rng = np.random.RandomState(seed)
+    images = rng.randint(0, 255, (b, 96, 128, 3), dtype=np.uint8)
+    boxes = np.zeros((b, m, 4), np.float32)
+    labels = np.zeros((b, m), np.int32)
+    mask = np.zeros((b, m), bool)
+    boxes[:, 0] = (0.25, 0.25, 0.7, 0.7)
+    labels[:, 0] = rng.randint(1, 11, b)
+    mask[:, 0] = True
+    return (
+        jnp.asarray(images), jnp.asarray(boxes),
+        jnp.asarray(labels), jnp.asarray(mask),
+    )
+
+
+AUG = AugmentConfig(out_size=64, num_trials=4)
+
+
+@pytest.fixture(scope="module", params=["ssd", "yolo"])
+def tiny_bundle(request):
+    return build_detector(tiny_test_config(request.param), dtype=jnp.float32)
+
+
+def test_overfit_one_batch(tiny_bundle):
+    """Loss decreases over 30 steps on a fixed batch (no augment random
+    drift: fixed rng per step index)."""
+    cfg = TrainConfig(
+        batch_size=8, max_boxes=8, learning_rate=5e-3, warmup_steps=0,
+        total_steps=100, optimizer="adam", weight_decay=0.0,
+    )
+    state = create_train_state(tiny_bundle, cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(tiny_bundle, AUG)
+    batch = _toy_train_batch()
+    losses = []
+    for i in range(30):
+        state, metrics = step_fn(
+            state, jax.random.PRNGKey(42), *batch
+        )
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
+
+
+@pytest.mark.parametrize("head", ["ssd", "yolo"])
+def test_dp8_matches_single_device(head):
+    """pjit DP over 8 fake devices gives the same loss/params trajectory as
+    single-device on the same global batch (SURVEY.md §4.2).
+
+    Hard-negative mining's 3:1 rank cutoff is disabled (keep ALL negatives):
+    at init every negative's CE is nearly identical, so the cutoff is an fp-
+    noise lottery and the two runs would legitimately mine different anchors.
+    With the loss made smooth, the only remaining difference is cross-shard
+    reduction order, and lockstep must be tight; mining itself is covered by
+    unit tests (test_matching) and the mining-enabled overfit test above.
+    """
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import dataclasses
+
+    # ratio ≫ num_anchors keeps every negative (stays inside int32 when
+    # multiplied by num_pos in the mining op)
+    det_cfg = dataclasses.replace(
+        tiny_test_config(head), neg_pos_ratio=1e5
+    )
+    bundle = build_detector(det_cfg, dtype=jnp.float32)
+    cfg = TrainConfig(batch_size=8, max_boxes=8, warmup_steps=0,
+                      total_steps=100, weight_decay=0.0)
+    batch = _toy_train_batch()
+
+    state1 = create_train_state(bundle, cfg, jax.random.PRNGKey(0))
+    state0_params = jax.tree.map(jnp.copy, state1.params)
+    step1 = make_train_step(bundle, AUG, donate=False)
+
+    mesh = make_mesh(num_data=8)
+    state8 = create_train_state(bundle, cfg, jax.random.PRNGKey(0), mesh=mesh)
+    step8 = make_train_step(bundle, AUG, mesh=mesh, donate=False)
+    batch8 = shard_batch(batch, mesh)
+
+    for i in range(3):
+        rng = jax.random.PRNGKey(i)
+        state1, m1 = step1(state1, rng, *batch)
+        state8, m8 = step8(state8, rng, *batch8)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=1e-4
+        )
+
+    # Params in approximate lockstep relative to the accumulated update.
+    # The 3-step loss check above is the primary DP-correctness assertion; in
+    # param space a few-% divergence is inherent even with correct DP:
+    # BatchNorm's batch stats use the cancellation-prone E[x²]−E[x]² form,
+    # so cross-shard partial-sum reassociation shifts normalized activations
+    # by ~1e-3 (measured; eval-mode forward matches to 4e-8), and ReLU
+    # boundary flips amplify that into gradient-mask differences. A real DP
+    # bug (wrong mesh/sharding config) diverges by order-1 of the update.
+    def l2(tree_a, tree_b):
+        return float(
+            jnp.sqrt(
+                sum(
+                    jnp.sum((jnp.asarray(a) - jnp.asarray(b)) ** 2)
+                    for a, b in zip(
+                        jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b),
+                    )
+                )
+            )
+        )
+
+    divergence = l2(state1.params, state8.params)
+    update = l2(state1.params, state0_params)
+    assert update > 0, "training did not move the params"
+    assert divergence < 0.25 * update, (divergence, update)
+
+
+def test_eval_step_runs(tiny_bundle):
+    cfg = TrainConfig(batch_size=4, max_boxes=8)
+    state = create_train_state(tiny_bundle, cfg, jax.random.PRNGKey(0))
+    eval_fn = make_eval_step(tiny_bundle)
+    images = jnp.zeros((4, 96, 128, 3), jnp.uint8)
+    det = eval_fn(state.params, state.batch_stats, images)
+    assert det.boxes.shape == (4, 200, 4)
+    assert np.isfinite(np.asarray(det.scores)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """orbax save → restore is bit-identical (SURVEY.md §4.2)."""
+    from bdd100k_tpu.utils.checkpoint import CheckpointManager
+
+    bundle = build_detector(tiny_test_config("ssd"), dtype=jnp.float32)
+    cfg = TrainConfig(batch_size=4, max_boxes=8, warmup_steps=0, total_steps=100)
+    state = create_train_state(bundle, cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(bundle, AUG, donate=False)
+    batch = _toy_train_batch(b=4)
+    state, _ = step_fn(state, jax.random.PRNGKey(0), *batch)
+
+    mgr = CheckpointManager(tmp_path / "ckpt", async_save=False)
+    mgr.save(1, state)
+    mgr.wait()
+
+    fresh = create_train_state(bundle, cfg, jax.random.PRNGKey(123))
+    restored, step = mgr.restore_latest(fresh)
+    assert step == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues from the restored state
+    restored, metrics = step_fn(restored, jax.random.PRNGKey(1), *batch)
+    assert np.isfinite(float(metrics["loss"]))
+    mgr.close()
+
+
+def test_lr_schedule_shape():
+    cfg = TrainConfig(
+        learning_rate=1.0, warmup_steps=10, total_steps=100,
+        lr_boundaries=(0.5, 0.8), lr_decays=(0.1, 0.1),
+    )
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) < 0.2
+    assert abs(float(sched(10)) - 1.0) < 1e-6
+    assert abs(float(sched(49)) - 1.0) < 1e-6
+    assert abs(float(sched(60)) - 0.1) < 1e-6
+    assert abs(float(sched(90)) - 0.01) < 1e-6
