@@ -145,16 +145,67 @@ def make_loader(
     num_epochs: int | None = None,
     process_index: int = 0,
     process_count: int = 1,
+    native_decode: bool | None = None,
 ) -> Iterator[Batch]:
     """Decode-ahead batch iterator.
 
-    A thread pool decodes `batch_size` images concurrently while the previous
-    batch is on device; indices are sharded per host (process_index::count).
+    Images decode concurrently while the previous batch is on device;
+    indices are sharded per host (process_index::count). Two decode engines:
+
+      * native (default when the dataset has `decode_size` and the C++ pool
+        built): the whole batch is ONE GIL-releasing call into
+        native/decode_pool.cc — libjpeg DCT downscale + resize on real OS
+        threads (SURVEY.md §2.7 "host-side decode workers").
+      * Python thread pool over dataset.__getitem__ (cv2/PIL) otherwise.
     """
+    use_native = False
+    decoder = None
+    if getattr(dataset, "decode_size", None) is not None and native_decode is not False:
+        from bdd100k_tpu.data import native_decode as nd
+
+        if nd.available():
+            decoder = nd.NativeDecoder(num_workers)
+            use_native = True
+        elif native_decode:
+            raise RuntimeError("native_decode requested but pool unavailable")
+
     local = np.arange(len(dataset))[process_index::process_count]
     rng = np.random.RandomState(seed)
     epoch = 0
     pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def batch_native(idx):
+        jpegs = list(
+            pool.map(  # overlap file reads
+                lambda i: (dataset.image_dir / dataset.records[i]["name"])
+                .read_bytes(),
+                idx,
+            )
+        )
+        images = decoder.decode_batch(jpegs, dataset.decode_size)
+        gts = [
+            pad_ground_truth(
+                dataset.records[i]["boxes"], dataset.records[i]["labels"],
+                dataset.max_boxes,
+            )
+            for i in idx
+        ]
+        return Batch(
+            images=images,
+            boxes=np.stack([g[0] for g in gts]),
+            labels=np.stack([g[1] for g in gts]),
+            mask=np.stack([g[2] for g in gts]),
+        )
+
+    def batch_python(idx):
+        samples = list(pool.map(dataset.__getitem__, idx))
+        return Batch(
+            images=np.stack([s["image"] for s in samples]),
+            boxes=np.stack([s["boxes"] for s in samples]),
+            labels=np.stack([s["labels"] for s in samples]),
+            mask=np.stack([s["mask"] for s in samples]),
+        )
+
     try:
         while num_epochs is None or epoch < num_epochs:
             order = rng.permutation(local) if shuffle else local
@@ -169,13 +220,7 @@ def make_loader(
                     idx = np.concatenate(
                         [idx, np.repeat(idx[-1:], batch_size - len(idx))]
                     )
-                samples = list(pool.map(dataset.__getitem__, idx))
-                yield Batch(
-                    images=np.stack([s["image"] for s in samples]),
-                    boxes=np.stack([s["boxes"] for s in samples]),
-                    labels=np.stack([s["labels"] for s in samples]),
-                    mask=np.stack([s["mask"] for s in samples]),
-                )
+                yield batch_native(idx) if use_native else batch_python(idx)
             epoch += 1
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
@@ -186,12 +231,15 @@ def prefetch_to_device(
 ) -> Iterator:
     """Double-buffered host→HBM transfer running ahead of consumption.
 
-    A background thread calls device_put on upcoming batches (async under
-    JAX — the transfer overlaps compute); the consumer always finds the next
-    batch already resident. With a `sharding`, batches land pre-sharded
-    across the mesh's data axis (per-host transfer only moves local shards).
+    TWO pipeline threads so every stage overlaps: one pulls the (decoding)
+    iterator into a host-side queue, the other drains it through device_put
+    into a device-side queue. Host decode, host→HBM transfer, and device
+    compute then run concurrently — none serializes behind another. With a
+    `sharding`, batches land pre-sharded across the mesh's data axis
+    (per-host transfer only moves local shards).
     """
-    q: queue.Queue = queue.Queue(maxsize=size)
+    hq: queue.Queue = queue.Queue(maxsize=size)
+    dq: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
 
     def put(batch):
@@ -199,17 +247,27 @@ def prefetch_to_device(
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)
 
-    def producer():
+    def host_producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                hq.put(batch)
         finally:
-            q.put(_END)
+            hq.put(_END)
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
+    def device_producer():
+        try:
+            while True:
+                item = hq.get()
+                if item is _END:
+                    return
+                dq.put(put(item))
+        finally:
+            dq.put(_END)
+
+    threading.Thread(target=host_producer, daemon=True).start()
+    threading.Thread(target=device_producer, daemon=True).start()
     while True:
-        item = q.get()
+        item = dq.get()
         if item is _END:
             return
         yield item
