@@ -117,6 +117,13 @@ _CONFIGS = {
 
 
 def get_config(name: str) -> DetectorConfig:
+    if name == "ssd_tiny_64":  # second-scale compiles, for CLI smoke tests
+        return tiny_test_config("ssd")
+    if name == "yolo_tiny_64":
+        return tiny_test_config("yolo")
     if name not in _CONFIGS:
-        raise KeyError(f"unknown config {name!r}; have {sorted(_CONFIGS)}")
+        raise KeyError(
+            f"unknown config {name!r}; have "
+            f"{sorted(_CONFIGS) + ['ssd_tiny_64', 'yolo_tiny_64']}"
+        )
     return _CONFIGS[name]

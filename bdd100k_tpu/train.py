@@ -54,6 +54,11 @@ def parse_args(argv=None):
     p.add_argument("--optimizer", default="momentum")
     p.add_argument("--warmup_steps", type=int, default=500)
     p.add_argument("--max_boxes", type=int, default=100)
+    p.add_argument("--decode_size", type=int, default=0,
+                   help="host-decode frames to this square size before the "
+                        "device augment (0 = native resolution). Cuts "
+                        "host→HBM transfer on input-bound hosts at some crop "
+                        "fidelity cost; e.g. 512 for a 300-input model")
     p.add_argument("--ckpt_dir", default="runs/default")
     p.add_argument("--checkpoint_every", type=int, default=1000)
     p.add_argument("--log_every", type=int, default=50)
@@ -65,27 +70,45 @@ def parse_args(argv=None):
     p.add_argument("--no_resume", dest="resume", action="store_false")
     p.add_argument("--profile_steps", default=None,
                    help="'start,stop' step range to capture a jax profiler trace")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax NaN checking (SURVEY.md §5.2 debug mode)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host DP "
+                        "over DCN (SURVEY.md §5.8)")
+    p.add_argument("--image_summary_every", type=int, default=0,
+                   help="every N steps, log drawn-detection image summaries "
+                        "to TensorBoard (0 = off)")
+    p.add_argument("--step_impl", choices=("pjit", "shard_map"),
+                   default="pjit",
+                   help="DP step implementation: compiler-derived collectives"
+                        " (pjit) or explicit pmean collectives (shard_map)")
     return p.parse_args(argv)
 
 
 def make_dataset(args) -> DetectionDataset:
+    decode_size = args.decode_size or None
     if args.synthetic:
         labels = generate_synthetic_dataset(
             args.synthetic_dir, num_images=args.synthetic, seed=args.seed
         )
         return DetectionDataset.from_bdd100k(
             labels, Path(args.synthetic_dir) / "images" / "train",
-            max_boxes=args.max_boxes,
+            max_boxes=args.max_boxes, decode_size=decode_size,
         )
     if not args.labels or not args.image_dir:
         raise SystemExit("need --labels + --image_dir (or --synthetic N)")
     return DetectionDataset.from_bdd100k(
-        args.labels, args.image_dir, max_boxes=args.max_boxes
+        args.labels, args.image_dir, max_boxes=args.max_boxes,
+        decode_size=decode_size,
     )
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost:
+        jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     det_cfg = get_config(args.config)
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
@@ -126,9 +149,18 @@ def main(argv=None):
     )
     batches = prefetch_to_device(loader, size=2, sharding=batch_sharding(mesh))
 
-    step_fn = make_train_step(
-        bundle, AugmentConfig(out_size=det_cfg.image_size), mesh=mesh
-    )
+    aug_cfg = AugmentConfig(out_size=det_cfg.image_size)
+    if args.step_impl == "shard_map":
+        from bdd100k_tpu.parallel.shard_map_step import make_shardmap_train_step
+
+        step_fn = make_shardmap_train_step(bundle, aug_cfg, mesh=mesh)
+    else:
+        step_fn = make_train_step(bundle, aug_cfg, mesh=mesh)
+    eval_fn = None
+    if args.image_summary_every:
+        from bdd100k_tpu.parallel.train_step import make_eval_step
+
+        eval_fn = make_eval_step(bundle)
     logger = MetricsLogger(args.ckpt_dir, "train")
     prof = None
     if args.profile_steps:
@@ -157,6 +189,21 @@ def main(argv=None):
             metrics["imgs_per_sec"] = imgs_since / max(now - t_last, 1e-9)
             t_last, imgs_since = now, 0
             logger.log(step, metrics)
+        if eval_fn is not None and step % args.image_summary_every == 0:
+            # drawn-detection image summaries (reference's TB images,
+            # SURVEY.md §2.4): current params on the current batch
+            from bdd100k_tpu.utils.viz import draw_detections
+
+            imgs = np.asarray(jax.device_get(batch.images[:2]))
+            det = jax.device_get(
+                eval_fn(state.params, state.batch_stats, batch.images[:2])
+            )
+            for i in range(imgs.shape[0]):
+                drawn = draw_detections(
+                    imgs[i], det.boxes[i], det.scores[i], det.classes[i],
+                    det.valid[i], score_threshold=0.3,
+                )
+                logger.image(step, f"detections/{i}", drawn)
         if step % train_cfg.checkpoint_every == 0:
             ckpt.save(step, state)
     ckpt.save(step, state)

@@ -12,6 +12,8 @@ import json
 import time
 from pathlib import Path
 
+import numpy as np
+
 
 class MetricsLogger:
     def __init__(self, run_dir: str | Path, name: str = "train", stdout: bool = True):
@@ -42,6 +44,13 @@ class MetricsLogger:
         if self.stdout:
             body = " ".join(f"{k}={v:.5g}" for k, v in scalars.items())
             print(f"step {step}: {body}", flush=True)
+
+    def image(self, step: int, name: str, image: "np.ndarray") -> None:
+        """Log an HWC uint8 image summary (e.g. drawn detections — the
+        reference's TensorBoard image summaries, SURVEY.md §2.4). No-op
+        when no TB backend is importable."""
+        if self._tb is not None:
+            self._tb.image(name, image, step)
 
     def close(self) -> None:
         self._file.close()

@@ -38,11 +38,12 @@ def main():
 
     from bdd100k_tpu.configs import get_config
     from bdd100k_tpu.data.augment import preprocess_eval_batch
-    from bdd100k_tpu.data.pipeline import make_loader
+    from bdd100k_tpu.data.pipeline import make_loader, prefetch_to_device
     from bdd100k_tpu.models.detector import build_detector
 
     log(f"device: {device_info()}")
     dataset = synthetic_dataset("/tmp/bdd_bench_val", args.images, split="val")
+    dataset.decode_size = 512  # host decode straight to model size
     bundle = build_detector(get_config("ssd_vgg16_512"))
     variables = bundle.init(jax.random.PRNGKey(0))
 
@@ -55,22 +56,25 @@ def main():
     import numpy as np
 
     warm = jnp.asarray(
-        np.zeros((args.batch_size, 720, 1280, 3), np.uint8)
+        np.zeros((args.batch_size, 512, 512, 3), np.uint8)
     )
     t0 = time.monotonic()
     jax.block_until_ready(infer(variables, warm))
     log(f"compile: {time.monotonic() - t0:.1f}s")
 
+    def batches():
+        for _ in range(args.rounds):
+            yield from make_loader(
+                dataset, args.batch_size, shuffle=False, num_epochs=1,
+                num_workers=args.num_workers,
+            )
+
     n = 0
     t0 = time.monotonic()
     det = None
-    for _ in range(args.rounds):
-        for batch in make_loader(
-            dataset, args.batch_size, shuffle=False, num_epochs=1,
-            num_workers=args.num_workers,
-        ):
-            det = infer(variables, jnp.asarray(batch.images))
-            n += args.batch_size
+    for images in prefetch_to_device((b.images for b in batches()), size=2):
+        det = infer(variables, images)
+        n += args.batch_size
     jax.block_until_ready(det)
     dt = time.monotonic() - t0
     emit(

@@ -46,7 +46,9 @@ def main():
     log(f"device: {device_info()}")
     bundle = build_detector(get_config(args.config))
     state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
-    predictor = Predictor(bundle, state, batch_size=args.batch_size)
+    predictor = Predictor(
+        bundle, state, batch_size=args.batch_size, host_resize=True
+    )
 
     # mixed-resolution source frames, normalized to 720p on host (cheap view
     # ops) before entering the stream — the decoder-side contract

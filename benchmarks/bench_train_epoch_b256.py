@@ -33,6 +33,9 @@ def main():
     p.add_argument("--images", type=int, default=512)
     p.add_argument("--epochs", type=int, default=2, help="first epoch warms up")
     p.add_argument("--num_workers", type=int, default=16)
+    p.add_argument("--decode_size", type=int, default=512,
+                   help="host decode size fed to the device augment "
+                        "(0 = native 720p; smaller cuts host→HBM transfer)")
     args = p.parse_args()
 
     import jax
@@ -57,6 +60,7 @@ def main():
         bundle, AugmentConfig(out_size=det_cfg.image_size), mesh=mesh
     )
     dataset = synthetic_dataset("/tmp/bdd_bench", args.images)
+    dataset.decode_size = args.decode_size or None
     rng = jax.random.PRNGKey(1)
 
     epoch_rates = []

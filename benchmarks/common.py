@@ -69,9 +69,14 @@ def synthetic_dataset(root: str | Path, num_images: int, split: str = "train",
     from bdd100k_tpu.data.pipeline import DetectionDataset
     from bdd100k_tpu.data.synthetic import generate_synthetic_dataset
 
+    import json
+
     root = Path(root)
     labels = root / "labels" / f"{split}.json"
-    if not labels.exists():
+    # regenerate when absent OR smaller than requested (a stale cache from a
+    # smaller run would silently starve batch-sized loaders)
+    have = len(json.loads(labels.read_text())) if labels.exists() else 0
+    if have < num_images:
         log(f"generating {num_images} synthetic images under {root}...")
         generate_synthetic_dataset(
             root, num_images=num_images, seed=seed, split=split
