@@ -157,6 +157,134 @@ class ArrayRecordDetectionDataset:
         )
 
 
+def convert_bdd100k_to_tfrecord(
+    labels_path: str | Path,
+    image_dir: str | Path,
+    out_dir: str | Path,
+    shard_size: int = 1024,
+    image_height: int = IMAGE_HEIGHT,
+    image_width: int = IMAGE_WIDTH,
+) -> list[Path]:
+    """Drop-in parity with the reference's TFRecord converter (SURVEY.md
+    §2.1): images+labels → sharded TFRecords of tf.train.Example with the
+    standard detection keys (image/encoded, image/object/bbox/{xmin,...},
+    image/object/class/label). ArrayRecord (above) is the TPU-native
+    plan-of-record; this exists so TFRecord corpora interoperate."""
+    import tensorflow as tf
+
+    records = load_bdd100k_labels(labels_path)
+    image_dir = Path(image_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def _bytes(v):
+        return tf.train.Feature(bytes_list=tf.train.BytesList(value=[v]))
+
+    def _floats(v):
+        return tf.train.Feature(float_list=tf.train.FloatList(value=list(v)))
+
+    def _ints(v):
+        return tf.train.Feature(int64_list=tf.train.Int64List(value=list(v)))
+
+    paths, writer = [], None
+    for i, rec in enumerate(records):
+        if i % shard_size == 0:
+            if writer is not None:
+                writer.close()
+            p = out_dir / f"shard-{i // shard_size:05d}.tfrecord"
+            writer = tf.io.TFRecordWriter(str(p))
+            paths.append(p)
+        boxes = np.asarray(rec["boxes"], np.float32).reshape(-1, 4)
+        example = tf.train.Example(
+            features=tf.train.Features(
+                feature={
+                    "image/encoded": _bytes(
+                        (image_dir / rec["name"]).read_bytes()
+                    ),
+                    "image/filename": _bytes(rec["name"].encode()),
+                    "image/height": _ints([image_height]),
+                    "image/width": _ints([image_width]),
+                    "image/object/bbox/xmin": _floats(boxes[:, 0]),
+                    "image/object/bbox/ymin": _floats(boxes[:, 1]),
+                    "image/object/bbox/xmax": _floats(boxes[:, 2]),
+                    "image/object/bbox/ymax": _floats(boxes[:, 3]),
+                    "image/object/class/label": _ints(rec["labels"]),
+                }
+            )
+        )
+        writer.write(example.SerializeToString())
+    if writer is not None:
+        writer.close()
+    return paths
+
+
+class TFRecordDetectionDataset:
+    """Random-access reader over the TFRecord shards written above; same
+    __len__/__getitem__ contract as DetectionDataset (index built once)."""
+
+    def __init__(
+        self,
+        shards: Sequence[str | Path] | str | Path,
+        max_boxes: int = 100,
+        image_height: int = IMAGE_HEIGHT,
+        image_width: int = IMAGE_WIDTH,
+    ):
+        import tensorflow as tf
+
+        if isinstance(shards, (str, Path)):
+            shards = sorted(Path(shards).glob("*.tfrecord"))
+        if not shards:
+            raise ValueError("no TFRecord shards found")
+        self._raw = list(
+            tf.data.TFRecordDataset([str(s) for s in shards])
+            .as_numpy_iterator()
+        )
+        self.max_boxes = max_boxes
+        self.image_height = image_height
+        self.image_width = image_width
+
+    def __len__(self) -> int:
+        return len(self._raw)
+
+    def __getitem__(self, i: int) -> dict:
+        import io
+
+        import tensorflow as tf
+        from PIL import Image
+
+        ex = tf.train.Example()
+        ex.ParseFromString(self._raw[int(i)])
+        f = ex.features.feature
+        with Image.open(
+            io.BytesIO(f["image/encoded"].bytes_list.value[0])
+        ) as im:
+            im = im.convert("RGB")
+            if im.size != (self.image_width, self.image_height):
+                im = im.resize((self.image_width, self.image_height))
+            image = np.asarray(im, dtype=np.uint8)
+        boxes = np.stack(
+            [
+                np.asarray(f[f"image/object/bbox/{k}"].float_list.value,
+                           np.float32)
+                for k in ("xmin", "ymin", "xmax", "ymax")
+            ],
+            axis=-1,
+        ) if f["image/object/bbox/xmin"].float_list.value else np.zeros(
+            (0, 4), np.float32
+        )
+        labels = np.asarray(
+            f["image/object/class/label"].int64_list.value, np.int32
+        )
+        pb, pl, pm = pad_ground_truth(boxes, labels, self.max_boxes)
+        return {
+            "image": image,
+            "boxes": pb,
+            "labels": pl,
+            "mask": pm,
+            "name": f["image/filename"].bytes_list.value[0].decode(),
+        }
+
+
 def make_grain_loader(
     dataset: ArrayRecordDetectionDataset,
     batch_size: int,

@@ -85,6 +85,9 @@ def run_eval(bundle, state, dataset, args, mesh) -> dict:
 
 
 def main(argv=None):
+    from bdd100k_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     det_cfg = get_config(args.config)
     mesh = make_mesh(num_data=args.mesh_data)

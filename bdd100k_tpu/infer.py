@@ -238,6 +238,9 @@ def run_video(args):
 
 
 def main(argv=None):
+    from bdd100k_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     if args.out_dir:
         Path(args.out_dir).mkdir(parents=True, exist_ok=True)

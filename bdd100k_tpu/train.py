@@ -104,6 +104,9 @@ def make_dataset(args) -> DetectionDataset:
 
 
 def main(argv=None):
+    from bdd100k_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     if args.multihost:
         jax.distributed.initialize()

@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bdd100k_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bdd100k_tpu.configs import get_config
     from bdd100k_tpu.data.augment import preprocess_eval_batch
     from bdd100k_tpu.data.pipeline import (
@@ -102,6 +106,17 @@ def main():
     imgs_per_sec = n_total / dt
     log(f"{n_total} images in {dt:.2f}s")
 
+    # device-resident throughput (preprocess→fwd→NMS with input already in
+    # HBM) — separates the chip's capability from this host's decode/link
+    resident = jax.device_put(warm)
+    jax.block_until_ready(infer_step(variables, resident))
+    t0 = time.monotonic()
+    for _ in range(10):
+        det = infer_step(variables, resident)
+    jax.block_until_ready(det)
+    device_only = 10 * args.batch_size / (time.monotonic() - t0)
+    log(f"device-resident: {device_only:.1f} imgs/sec")
+
     baseline_per_chip = 5000.0 / 8.0
     print(
         json.dumps(
@@ -110,6 +125,9 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / baseline_per_chip, 4),
+                "device_resident_imgs_per_sec": round(device_only, 2),
+                "note": "end-to-end bound by single-core host decode + "
+                        "tunneled host-to-device link on this box",
             }
         )
     )

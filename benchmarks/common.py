@@ -41,6 +41,9 @@ def emit(metric: str, value: float, unit: str, vs_baseline: float, **extras):
 def device_info() -> str:
     import jax
 
+    from bdd100k_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     d = jax.devices()[0]
     return f"{d.platform}:{getattr(d, 'device_kind', '?')} x{len(jax.devices())}"
 

@@ -40,6 +40,31 @@ def test_arrayrecord_roundtrip_matches_json(synth, tmp_path):
         np.testing.assert_array_equal(a["mask"], b["mask"])
 
 
+def test_tfrecord_roundtrip_matches_json(synth, tmp_path):
+    from bdd100k_tpu.data.records import (
+        TFRecordDetectionDataset,
+        convert_bdd100k_to_tfrecord,
+    )
+
+    root, labels = synth
+    image_dir = root / "images" / "train"
+    shards = convert_bdd100k_to_tfrecord(
+        labels, image_dir, tmp_path / "tfr", shard_size=4
+    )
+    assert len(shards) == 2
+
+    direct = DetectionDataset.from_bdd100k(labels, image_dir, max_boxes=16)
+    packed = TFRecordDetectionDataset(tmp_path / "tfr", max_boxes=16)
+    assert len(packed) == len(direct) == 6
+    for i in range(6):
+        a, b = direct[i], packed[i]
+        assert a["name"] == b["name"]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-6)
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+
+
 def test_grain_loader_batches(synth, tmp_path):
     root, labels = synth
     convert_bdd100k_to_arrayrecord(
