@@ -114,7 +114,9 @@ def load_predictor(args, batch_size: int) -> Predictor:
     bundle = build_detector(det_cfg)
     state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
     if args.ckpt_dir:
-        state, step = CheckpointManager(args.ckpt_dir).restore_latest(state)
+        state, step = CheckpointManager(args.ckpt_dir).restore_latest(
+            state, params_only=True
+        )
         print(f"restored step {step}")
     return Predictor(bundle, state, batch_size)
 

@@ -42,28 +42,49 @@ class CheckpointManager:
         }
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
-    def restore_latest(self, state: Any) -> tuple[Any, int]:
+    def restore_latest(
+        self, state: Any, params_only: bool = False
+    ) -> tuple[Any, int]:
         """Restore into the abstract structure of `state`; returns
-        (state, step); (state, 0) if no checkpoint exists."""
+        (state, step); (state, 0) if no checkpoint exists.
+
+        `params_only=True` restores just {params, batch_stats, step} — for
+        eval/infer, which build a throwaway optimizer whose state structure
+        need not match the one the checkpoint was trained with (e.g. eval
+        defaults to momentum while the run used adam)."""
         latest = self._mgr.latest_step()
         if latest is None:
             return state, 0
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
             "step": np.asarray(state.step),
         }
+        if not params_only:
+            template["opt_state"] = state.opt_state
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-        restored = self._mgr.restore(
-            latest, args=ocp.args.StandardRestore(abstract)
-        )
+        if params_only:
+            # the on-disk tree also has opt_state; restore only our subtree
+            restore_args = jax.tree.map(
+                lambda a: ocp.RestoreArgs(restore_type=None), abstract
+            )
+            restored = self._mgr.restore(
+                latest,
+                args=ocp.args.PyTreeRestore(
+                    abstract, restore_args=restore_args, partial_restore=True
+                ),
+            )
+        else:
+            restored = self._mgr.restore(
+                latest, args=ocp.args.StandardRestore(abstract)
+            )
         state = state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
             step=restored["step"],
         )
+        if not params_only:
+            state = state.replace(opt_state=restored["opt_state"])
         return state, int(latest)
 
     def wait(self) -> None:
