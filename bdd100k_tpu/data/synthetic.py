@@ -79,6 +79,33 @@ def _render_scene(rng: np.random.RandomState, boxes_px, classes) -> np.ndarray:
     return np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
 
 
+def ensure_synthetic_dataset(
+    out_dir: str | Path,
+    num_images: int = 32,
+    seed: int = 0,
+    max_objects: int = 12,
+    split: str = "train",
+) -> Path:
+    """Idempotent wrapper: (re)generate only when the existing labels file
+    is missing or holds fewer records than requested. Generation is
+    sequential from the seed, so a larger existing set's first N records
+    are exactly the N-record set — safe to reuse. Prevents one driver's
+    smaller --synthetic run from silently shrinking a dataset another run
+    is using."""
+    out_dir = Path(out_dir)
+    labels_path = out_dir / "labels" / f"{split}.json"
+    if labels_path.exists():
+        try:
+            if len(json.loads(labels_path.read_text())) >= num_images:
+                return labels_path
+        except (ValueError, OSError):
+            pass
+    return generate_synthetic_dataset(
+        out_dir, num_images=num_images, seed=seed,
+        max_objects=max_objects, split=split,
+    )
+
+
 def generate_synthetic_dataset(
     out_dir: str | Path,
     num_images: int = 32,

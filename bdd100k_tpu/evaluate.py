@@ -26,7 +26,7 @@ from bdd100k_tpu.data.pipeline import (
     make_loader,
     prefetch_to_device,
 )
-from bdd100k_tpu.data.synthetic import generate_synthetic_dataset
+from bdd100k_tpu.data.synthetic import ensure_synthetic_dataset
 from bdd100k_tpu.models.detector import build_detector
 from bdd100k_tpu.ops.map_metric import DetectionEvaluator
 from bdd100k_tpu.parallel.mesh import batch_sharding, make_mesh
@@ -65,11 +65,11 @@ def run_eval(bundle, state, dataset, args, mesh) -> dict:
     )
     n_images = len(dataset)
     seen = 0
-    t0 = time.monotonic()
-    for batch in batches:
-        det = eval_step(state.params, state.batch_stats, batch.images)
+
+    def accumulate(det, host):
+        nonlocal seen
         det = jax.device_get(det)
-        host = jax.device_get((batch.boxes, batch.labels, batch.mask))
+        host = jax.device_get(host)
         for i in range(det.boxes.shape[0]):
             if seen >= n_images:
                 break  # padded tail of final partial batch
@@ -79,6 +79,18 @@ def run_eval(bundle, state, dataset, args, mesh) -> dict:
                 det_valid=det.valid[i], gt_mask=host[2][i],
             )
             seen += 1
+
+    # one-batch pipeline: dispatch batch k+1 before fetching/accumulating
+    # batch k, so the host-side mAP bookkeeping overlaps device compute
+    pending = None
+    t0 = time.monotonic()
+    for batch in batches:
+        det = eval_step(state.params, state.batch_stats, batch.images)
+        if pending is not None:
+            accumulate(*pending)
+        pending = (det, (batch.boxes, batch.labels, batch.mask))
+    if pending is not None:
+        accumulate(*pending)
     dt = time.monotonic() - t0
     result = evaluator.compute(iou_threshold=args.iou_threshold)
     result["images_per_sec"] = seen / max(dt, 1e-9)
@@ -117,13 +129,14 @@ def main(argv=None):
     # host→HBM transfer (GT boxes are normalized; mAP unaffected)
     decode_size = det_cfg.image_size
     if args.synthetic:
-        labels = generate_synthetic_dataset(
+        labels = ensure_synthetic_dataset(
             args.synthetic_dir, num_images=args.synthetic, seed=1, split="val"
         )
         dataset = DetectionDataset.from_bdd100k(
             labels, Path(args.synthetic_dir) / "images" / "val",
             max_boxes=args.max_boxes, decode_size=decode_size,
         )
+        dataset.records = dataset.records[: args.synthetic]
     else:
         if not args.labels or not args.image_dir:
             raise SystemExit("need --labels + --image_dir (or --synthetic N)")

@@ -32,7 +32,7 @@ from bdd100k_tpu.data.pipeline import (
     make_loader,
     prefetch_to_device,
 )
-from bdd100k_tpu.data.synthetic import generate_synthetic_dataset
+from bdd100k_tpu.data.synthetic import ensure_synthetic_dataset
 from bdd100k_tpu.models.detector import build_detector
 from bdd100k_tpu.parallel.mesh import batch_sharding, make_mesh
 from bdd100k_tpu.parallel.train_step import create_train_state, make_train_step
@@ -88,13 +88,15 @@ def parse_args(argv=None):
 def make_dataset(args) -> DetectionDataset:
     decode_size = args.decode_size or None
     if args.synthetic:
-        labels = generate_synthetic_dataset(
+        labels = ensure_synthetic_dataset(
             args.synthetic_dir, num_images=args.synthetic, seed=args.seed
         )
-        return DetectionDataset.from_bdd100k(
+        ds = DetectionDataset.from_bdd100k(
             labels, Path(args.synthetic_dir) / "images" / "train",
             max_boxes=args.max_boxes, decode_size=decode_size,
         )
+        ds.records = ds.records[: args.synthetic]
+        return ds
     if not args.labels or not args.image_dir:
         raise SystemExit("need --labels + --image_dir (or --synthetic N)")
     return DetectionDataset.from_bdd100k(

@@ -64,16 +64,22 @@ class CheckpointManager:
             template["opt_state"] = state.opt_state
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         if params_only:
-            # the on-disk tree also has opt_state; restore only our subtree
+            # The on-disk tree also has opt_state; partial-restore just our
+            # subtree. Use a standalone PyTree checkpointer on the step dir —
+            # the manager may already have Standard handlers registered
+            # (from saving), which reject PyTreeRestore args.
             restore_args = jax.tree.map(
                 lambda a: ocp.RestoreArgs(restore_type=None), abstract
             )
-            restored = self._mgr.restore(
-                latest,
-                args=ocp.args.PyTreeRestore(
-                    abstract, restore_args=restore_args, partial_restore=True
-                ),
-            )
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(
+                    self.directory / str(latest) / "default",
+                    args=ocp.args.PyTreeRestore(
+                        abstract,
+                        restore_args=restore_args,
+                        partial_restore=True,
+                    ),
+                )
         else:
             restored = self._mgr.restore(
                 latest, args=ocp.args.StandardRestore(abstract)

@@ -47,7 +47,7 @@ def main():
         make_loader,
         prefetch_to_device,
     )
-    from bdd100k_tpu.data.synthetic import generate_synthetic_dataset
+    from bdd100k_tpu.data.synthetic import ensure_synthetic_dataset
     from bdd100k_tpu.models.detector import build_detector
 
     dev = jax.devices()[0]
@@ -55,10 +55,7 @@ def main():
 
     cfg = get_config(args.config)
     root = Path("/tmp/bdd_bench")
-    labels = root / "labels" / "train.json"
-    if not labels.exists():
-        log("generating synthetic bench dataset...")
-        generate_synthetic_dataset(root, num_images=args.images, seed=0)
+    labels = ensure_synthetic_dataset(root, num_images=args.images, seed=0)
     # decode straight to model size on host (DCT-domain downscale): same
     # host-side resize placement as the reference pipeline, ~10× less
     # host→HBM transfer than shipping 720p frames the device would resize.
@@ -66,6 +63,7 @@ def main():
         labels, root / "images" / "train", max_boxes=100,
         decode_size=cfg.image_size,
     )
+    dataset.records = dataset.records[: args.images]
 
     bundle = build_detector(cfg)
     variables = bundle.init(jax.random.PRNGKey(0))

@@ -70,20 +70,14 @@ def synthetic_dataset(root: str | Path, num_images: int, split: str = "train",
                       seed: int = 0):
     """Build (once) and open a synthetic BDD100K-format dataset."""
     from bdd100k_tpu.data.pipeline import DetectionDataset
-    from bdd100k_tpu.data.synthetic import generate_synthetic_dataset
-
-    import json
+    from bdd100k_tpu.data.synthetic import ensure_synthetic_dataset
 
     root = Path(root)
-    labels = root / "labels" / f"{split}.json"
-    # regenerate when absent OR smaller than requested (a stale cache from a
-    # smaller run would silently starve batch-sized loaders)
-    have = len(json.loads(labels.read_text())) if labels.exists() else 0
-    if have < num_images:
-        log(f"generating {num_images} synthetic images under {root}...")
-        generate_synthetic_dataset(
-            root, num_images=num_images, seed=seed, split=split
-        )
-    return DetectionDataset.from_bdd100k(
+    labels = ensure_synthetic_dataset(
+        root, num_images=num_images, seed=seed, split=split
+    )
+    ds = DetectionDataset.from_bdd100k(
         labels, root / "images" / split, max_boxes=100
     )
+    ds.records = ds.records[:num_images]
+    return ds

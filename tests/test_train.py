@@ -171,6 +171,31 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_restore_across_optimizers(tmp_path):
+    """eval/infer restore a checkpoint trained with a DIFFERENT optimizer:
+    params-only restore must ignore the opt_state structure mismatch."""
+    from bdd100k_tpu.utils.checkpoint import CheckpointManager
+
+    bundle = build_detector(tiny_test_config("ssd"), dtype=jnp.float32)
+    train_cfg = TrainConfig(batch_size=4, max_boxes=8, optimizer="adam",
+                            warmup_steps=0, total_steps=10)
+    state = create_train_state(bundle, train_cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(tmp_path / "ckpt", async_save=False)
+    mgr.save(7, state)
+    mgr.wait()
+
+    eval_cfg = TrainConfig(batch_size=4, max_boxes=8)  # default: momentum
+    fresh = create_train_state(bundle, eval_cfg, jax.random.PRNGKey(9))
+    restored, step = mgr.restore_latest(fresh, params_only=True)
+    assert step == 7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
 def test_lr_schedule_shape():
     cfg = TrainConfig(
         learning_rate=1.0, warmup_steps=10, total_steps=100,
