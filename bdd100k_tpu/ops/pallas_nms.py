@@ -6,23 +6,25 @@ table: "NumPy host NMS + box decode → Pallas fused postprocess kernel").
 Decode / scoring / per-class top-k preselection stay in XLA (lax.top_k is
 already MXU/VPU-optimal); the greedy suppression chain — the part XLA
 handles worst, a k-step sequential loop of tiny masked reductions — runs
-here as ONE kernel per image with every candidate resident in VMEM.
+here with every candidate resident in VMEM.
 
 Exact-greedy semantics (identical keep decisions to ops.nms.greedy_keep_mask,
 asserted in tests per SURVEY.md §4.2): candidate i survives iff no surviving
 higher-scored j (j < i in score order) overlaps it with IoU > threshold.
 
 TPU-native design (pallas_guide.md):
-  * classes are VECTORIZED, not looped: one program handles all C classes of
-    one image; each greedy step is a handful of (C, K) VPU ops on 8×128
-    lanes, so the only sequential extent is K (the per-class candidate
-    count), not C·K.
-  * the (C, K, K) IoU tensor is computed once into a VMEM scratch and row-
-    sliced per step — no HBM traffic inside the loop.
-  * the keep mask update is pure arithmetic (one-hot multiply), avoiding
-    per-step scatter stores.
-  * K is padded to a lane multiple (128) at the call boundary; C is padded
-    to the f32 sublane multiple (8).
+  * the sequential extent is ONLY K (per-class candidate count). Classes are
+    vectorized, and so is a CHUNK of images: one grid program owns `chunk`
+    images × C classes, so each greedy step is a few VPU ops on a
+    (chunk·C, K) tile and the whole batch costs (B/chunk)·K steps instead
+    of B·C·K. Grid programs serialize on the TensorCore, so fewer, fatter
+    programs win.
+  * the (K, chunk·C, K) IoU tensor is computed once into a VMEM scratch
+    laid out candidate-major, so the loop slices a contiguous (chunk·C, K)
+    plane by leading index — the cheapest dynamic access Mosaic supports.
+  * the keep-mask update is pure arithmetic (one-hot multiply): no scatter.
+  * K pads to the 128-lane multiple; chunk·C pads to the f32 sublane
+    multiple (8); chunk is sized so the scratch stays under ~10 MB of VMEM.
 """
 
 from __future__ import annotations
@@ -36,56 +38,85 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _SUBLANE = 8
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_chunk(c: int, kp: int) -> int:
+    """Largest image chunk whose (kp, chunk*c, kp) f32 scratch fits VMEM."""
+    chunk = max(1, _VMEM_BUDGET_BYTES // (kp * kp * 4 * max(c, 1)))
+    return min(chunk, 8)
+
+
 def _suppress_kernel(
-    x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, iou_ref,
+    x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, iou_ref, t_ref,
     *, iou_threshold: float,
 ):
-    """One image: refs are (1, C, K) in VMEM; iou_ref is (C, K, K) scratch."""
-    x1 = x1_ref[0]
-    y1 = y1_ref[0]
-    x2 = x2_ref[0]
-    y2 = y2_ref[0]  # each (C, K)
+    """Refs are (chunk, C, K); iou_ref is (K, chunk*C, K) scratch."""
+    chunk, c, k = x1_ref.shape
+    cc = chunk * c
 
-    # Pairwise suppression tensor in (I, C, J) layout — candidate index I
-    # leads so the greedy loop slices a whole (C, J) plane with a leading-dim
-    # dynamic index (the cheapest dynamic access Mosaic supports). IoU is
-    # symmetric, so [i, c, j] == iou(box_ci, box_cj) either way.
-    def bi(v):  # (C, K) -> (K, C, 1): per-candidate-i operand
-        return v.T[:, :, None]
+    def flat(ref):  # (chunk, C, K) -> (chunk*C, K): leading-dim merge
+        return ref[...].reshape(cc, k)
 
-    def bj(v):  # (C, K) -> (1, C, K): per-candidate-j operand
-        return v[None, :, :]
+    x1, y1, x2, y2 = flat(x1_ref), flat(y1_ref), flat(x2_ref), flat(y2_ref)
 
-    ix1 = jnp.maximum(bi(x1), bj(x1))
-    iy1 = jnp.maximum(bi(y1), bj(y1))
-    ix2 = jnp.minimum(bi(x2), bj(x2))
-    iy2 = jnp.minimum(bi(y2), bj(y2))
-    inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
-    a = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (C, K)
-    union = bi(a) + bj(a) - inter
-    iou = inter / jnp.maximum(union, 1e-8)
-    iou_ref[:] = jnp.where(iou > iou_threshold, 1.0, 0.0)
+    # Pairwise suppression tensor in (I, CC, J) layout — candidate index I
+    # leads so the greedy loop slices a whole (CC, J) plane per step. IoU is
+    # symmetric, so [i, cc, j] == iou(box_cc_i, box_cc_j) either way.
+    # Filled in I-slabs so only a (TI, CC, K) block is ever live as a value —
+    # the full (K, CC, K) tensor lives ONLY in the scratch ref (materializing
+    # it as a value too would double VMEM and bust the budget).
+    a = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (CC, K)
+    # stage candidate-major transposes in scratch so the fill loop can slice
+    # them by REF (dynamic slicing of values isn't lowered by Mosaic)
+    t_ref[0] = x1.T
+    t_ref[1] = y1.T
+    t_ref[2] = x2.T
+    t_ref[3] = y2.T
+    t_ref[4] = a.T  # each (K, CC)
 
-    c, k = x1.shape
+    ti = _SUBLANE
+
+    def fill(it, carry):
+        s0 = it * ti
+
+        def bi(plane):  # t_ref plane -> (TI, CC, 1): per-candidate-i operand
+            return t_ref[plane, pl.ds(s0, ti)][:, :, None]
+
+        def bj(v):  # (CC, K) -> (1, CC, K): per-candidate-j operand
+            return v[None, :, :]
+
+        ix1 = jnp.maximum(bi(0), bj(x1))
+        iy1 = jnp.maximum(bi(1), bj(y1))
+        ix2 = jnp.minimum(bi(2), bj(x2))
+        iy2 = jnp.minimum(bi(3), bj(y2))
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        union = bi(4) + bj(a) - inter
+        iou = inter / jnp.maximum(union, 1e-8)
+        iou_ref[pl.ds(s0, ti)] = jnp.where(iou > iou_threshold, 1.0, 0.0)
+        return carry
+
+    jax.lax.fori_loop(0, k // ti, fill, 0)
+
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), dimension=1)
 
     def body(i, keep):
-        # suppression plane of candidate i, all classes: (C, K)
+        # suppression plane of candidate i for every (image, class): (CC, K)
         row = iou_ref[i]
         earlier = (lane_ids < i).astype(jnp.float32)           # (1, K)
-        # killed[c] = ∃ surviving earlier j with overlap: (C, 1)
+        # killed[cc] = ∃ surviving earlier j with overlap: (CC, 1)
         killed = jnp.max(row * earlier * keep, axis=-1, keepdims=True)
         onehot = (lane_ids == i).astype(jnp.float32)           # (1, K)
         return keep * (1.0 - onehot * killed)
 
-    keep = jax.lax.fori_loop(0, k, body, valid_ref[0])
-    keep_ref[0] = keep
+    # (Mosaic's fori_loop supports only unroll=1 or full unroll; the chunk
+    # vectorization above is the big win, so keep unroll=1.)
+    keep = jax.lax.fori_loop(0, k, body, flat(valid_ref))
+    keep_ref[...] = keep.reshape(chunk, c, k)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
@@ -107,24 +138,31 @@ def pallas_greedy_suppress(
     """
     b, c, k, _ = boxes.shape
     kp = _round_up(k, _LANE)
-    cp = _round_up(c, _SUBLANE)
-    pad = ((0, 0), (0, cp - c), (0, kp - k))
+    chunk = _pick_chunk(c, kp)
+    # chunk*c must land on a sublane multiple for clean (CC, K) tiles
+    while chunk > 1 and (chunk * c) % _SUBLANE:
+        chunk -= 1
+    bp = _round_up(b, chunk)
+    pad = ((0, bp - b), (0, 0), (0, kp - k))
 
     planes = [
         jnp.pad(boxes[..., i], pad) for i in range(4)
-    ]  # 4 × (B, Cp, Kp)
+    ]  # 4 × (Bp, C, Kp)
     valid_f = jnp.pad(valid.astype(jnp.float32), pad)
 
     spec = pl.BlockSpec(
-        (1, cp, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (chunk, c, kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     keep = pl.pallas_call(
         functools.partial(_suppress_kernel, iou_threshold=iou_threshold),
-        grid=(b,),
+        grid=(bp // chunk,),
         in_specs=[spec] * 5,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, cp, kp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((kp, cp, kp), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((bp, c, kp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((kp, chunk * c, kp), jnp.float32),
+            pltpu.VMEM((5, kp, chunk * c), jnp.float32),
+        ],
         interpret=interpret,
     )(*planes, valid_f)
-    return keep[:, :c, :k] > 0.5
+    return keep[:b, :, :k] > 0.5
