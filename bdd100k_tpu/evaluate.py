@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--nms", choices=("auto", "xla", "pallas"), default="auto",
                    help="NMS backend (identical keep decisions either way)")
+    p.add_argument("--preselect", choices=("exact", "approx"), default="exact",
+                   help="per-class candidate preselect: exact top-k or the "
+                        "faster TPU approx_max_k (~0.95 candidate recall)")
     return p.parse_args(argv)
 
 
@@ -104,13 +107,14 @@ def main(argv=None):
     enable_compilation_cache()
     args = parse_args(argv)
     det_cfg = get_config(args.config)
-    if args.nms != "auto":
+    if args.nms != "auto" or args.preselect != "exact":
         import dataclasses
 
         det_cfg = dataclasses.replace(
             det_cfg,
             postprocess=dataclasses.replace(
-                det_cfg.postprocess, nms_impl=args.nms
+                det_cfg.postprocess, nms_impl=args.nms,
+                preselect=args.preselect,
             ),
         )
     mesh = make_mesh(num_data=args.mesh_data)

@@ -41,6 +41,10 @@ class PostprocessConfig:
     # NMS backend: "auto" → Pallas kernel on TPU, pure-XLA elsewhere;
     # "xla" | "pallas" force one (both produce identical keep decisions).
     nms_impl: str = "auto"
+    # candidate preselection (pallas path): "exact" per-class top-k, or
+    # "approx" = TPU-native lax.approx_max_k (~0.95 candidate recall, far
+    # faster than the sort-based exact top-k)
+    preselect: str = "exact"
 
 
 def compute_scores(cls_preds: jnp.ndarray, score_mode: str) -> jnp.ndarray:
@@ -94,6 +98,7 @@ def postprocess(
             score_threshold=config.score_threshold,
             per_class_topk=config.per_class_topk,
             max_detections=config.max_detections,
+            preselect=config.preselect,
         )
     return batched_class_nms(
         decoded,

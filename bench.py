@@ -31,6 +31,10 @@ def main():
     p.add_argument("--rounds", type=int, default=5)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--config", default="ssd_mobilenet_300")
+    p.add_argument("--preselect", choices=("exact", "approx"), default="exact",
+                   help="NMS candidate preselect; approx (TPU approx_max_k) "
+                        "trades ~0.95 candidate recall for ~1.5x device "
+                        "throughput")
     args = p.parse_args()
 
     import jax
@@ -54,6 +58,15 @@ def main():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
     cfg = get_config(args.config)
+    if args.preselect != "exact":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            postprocess=dataclasses.replace(
+                cfg.postprocess, preselect=args.preselect
+            ),
+        )
     root = Path("/tmp/bdd_bench")
     labels = ensure_synthetic_dataset(root, num_images=args.images, seed=0)
     # decode straight to model size on host (DCT-domain downscale): same
