@@ -116,15 +116,23 @@ def convert_torch_vgg16(state_dict: Mapping[str, Any]) -> dict[str, np.ndarray]:
 
 
 def import_torch_vgg16(variables: dict, ckpt_path: str | Path) -> dict:
-    """Load a torch .pth ImageNet VGG16 into VGG16Backbone's conv stacks."""
+    """Load a torch .pth ImageNet VGG16 into VGG16Backbone's conv stacks.
+
+    Accepts either a full detector's variables (backbone under
+    params/backbone) or a bare VGG16Backbone's variables.
+    """
     import torch
 
     state_dict = torch.load(ckpt_path, map_location="cpu", weights_only=True)
     if hasattr(state_dict, "state_dict"):
         state_dict = state_dict.state_dict()
     flat = convert_torch_vgg16(state_dict)
-    params = unflatten_into(variables["params"]["backbone"], flat)
     out = dict(variables)
     out["params"] = dict(variables["params"])
-    out["params"]["backbone"] = params
+    if "backbone" in out["params"]:
+        out["params"]["backbone"] = unflatten_into(
+            variables["params"]["backbone"], flat
+        )
+    else:
+        out["params"] = unflatten_into(variables["params"], flat)
     return out

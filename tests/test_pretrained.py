@@ -48,6 +48,40 @@ def test_unflatten_shape_check():
         raise AssertionError("expected shape mismatch error")
 
 
+def test_torch_pth_import_roundtrip(tmp_path):
+    """Full .pth path: torch.save → import_torch_vgg16 → forward runs."""
+    import torch
+
+    from bdd100k_tpu.utils.pretrained import import_torch_vgg16
+
+    chans = [
+        (3, 64), (64, 64), (64, 128), (128, 128),
+        (128, 256), (256, 256), (256, 256),
+        (256, 512), (512, 512), (512, 512),
+        (512, 512), (512, 512), (512, 512),
+    ]
+    idx = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    for i, (ci, co) in zip(idx, chans):
+        sd[f"features.{i}.weight"] = torch.randn(co, ci, 3, 3, generator=g)
+        sd[f"features.{i}.bias"] = torch.randn(co, generator=g)
+    path = tmp_path / "vgg16.pth"
+    torch.save(sd, path)
+
+    model = VGG16Backbone(dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    merged = import_torch_vgg16(variables, path)
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["block4"]["conv3"]["kernel"]),
+        sd["features.21.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    taps = model.apply(merged, jnp.ones((1, 64, 64, 3)), train=False)
+    assert [t.shape for t in taps] == [(1, 8, 8, 512), (1, 4, 4, 1024)]
+
+
 def test_torch_vgg16_mapping_shapes():
     """A synthetic torchvision-layout state_dict maps onto VGG16Backbone
     with exact shape agreement for every conv in conv1_1..conv5_3."""
