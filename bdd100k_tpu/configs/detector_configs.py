@@ -41,6 +41,9 @@ class DetectorConfig:
     match_threshold: float = 0.5
     neg_pos_ratio: float = 3.0
     postprocess: PostprocessConfig = PostprocessConfig()
+    # anchor↔GT matcher backend: "auto" → fused Pallas kernel on TPU,
+    # XLA elsewhere; "xla" | "pallas" force one (identical outputs).
+    matcher_impl: str = "auto"
 
     @property
     def num_anchors(self) -> int:

@@ -61,20 +61,21 @@ def match_anchors(
     best_gt_iou = jnp.max(iou, axis=0)                     # (A,)
 
     # Step 1: per-GT best anchor is forced positive and assigned to that GT,
-    # overriding the threshold rule (and any weaker forced claim is resolved
-    # by scatter order — later GTs win ties, matching greedy NumPy behavior).
+    # overriding the threshold rule; when two GTs claim the same anchor the
+    # later GT wins (greedy NumPy last-write order). Expressed scatter-free
+    # — TPU scatters serialize badly — as a (max_boxes, A) claim matrix:
+    # one more IoU-sized elementwise pass instead of two vmapped scatters.
     best_anchor = jnp.argmax(iou, axis=1)                  # (max_boxes,)
     num_anchors = anchors_center.shape[0]
     gt_ids = jnp.arange(gt_boxes.shape[0], dtype=jnp.int32)
 
-    # Only real GTs force a claim; padded rows scatter to a dummy slot.
-    scatter_idx = jnp.where(gt_mask, best_anchor, num_anchors)
-    forced = jnp.zeros((num_anchors + 1,), dtype=bool).at[scatter_idx].set(True)[:-1]
-    forced_gt = (
-        jnp.full((num_anchors + 1,), -1, dtype=jnp.int32)
-        .at[scatter_idx]
-        .set(gt_ids)[:num_anchors]
-    )
+    claims = gt_mask[:, None] & (
+        best_anchor[:, None] == jnp.arange(num_anchors, dtype=jnp.int32)[None]
+    )  # (max_boxes, A)
+    forced = jnp.any(claims, axis=0)
+    forced_gt = jnp.max(
+        jnp.where(claims, gt_ids[:, None], -1), axis=0
+    )  # highest claiming GT wins ties
 
     positive = forced | (best_gt_iou > match_threshold)
     matched_gt = jnp.where(forced, forced_gt, best_gt)

@@ -101,9 +101,19 @@ def detection_loss(
 ) -> LossBreakdown:
     """Head-appropriate loss over the batched matcher output."""
     cfg = bundle.config
-    match = encode_targets(
-        gt_boxes, gt_labels, gt_mask, bundle.anchors, cfg.match_threshold
-    )
+    impl = cfg.matcher_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from bdd100k_tpu.ops.pallas_matcher import pallas_encode_targets
+
+        match = pallas_encode_targets(
+            gt_boxes, gt_labels, gt_mask, bundle.anchors, cfg.match_threshold
+        )
+    else:
+        match = encode_targets(
+            gt_boxes, gt_labels, gt_mask, bundle.anchors, cfg.match_threshold
+        )
     if cfg.head == "ssd":
         return ssd_loss(loc_preds, cls_preds, match, cfg.neg_pos_ratio)
     # YOLO: σ-space targets from each anchor's matched GT box
