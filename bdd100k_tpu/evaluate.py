@@ -18,7 +18,6 @@ import time
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from bdd100k_tpu.configs import BDD100K_CLASSES, TrainConfig, get_config
 from bdd100k_tpu.data.pipeline import (

@@ -1,6 +1,6 @@
 """Matcher + hard-negative-mining invariants (SURVEY.md §4.2)."""
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -4,12 +4,10 @@ Runs the kernel in interpreter mode on the CPU test backend; on TPU the same
 code path compiles via Mosaic.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from bdd100k_tpu.ops import boxes as box_ops
 from bdd100k_tpu.ops.nms import (
     batched_class_nms,
     batched_class_nms_pallas,
