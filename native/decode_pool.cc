@@ -44,32 +44,51 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-// Bilinear uint8 RGB resize (src HxW -> dst SxS).
+// Bilinear uint8 RGB resize (src HxW -> dst SxS), separable 2-pass with
+// 8-bit fixed-point weights: horizontal shrink first (w -> s, row-major
+// sequential reads, vectorizable inner loop), then vertical on the reduced
+// (h, s) intermediate — ~w/s fewer lerps than the naive per-pixel form.
 void resize_bilinear(const uint8_t* src, int h, int w, uint8_t* dst, int s) {
-  const float sy = static_cast<float>(h) / s;
-  const float sx = static_cast<float>(w) / s;
-  for (int oy = 0; oy < s; ++oy) {
-    float fy = (oy + 0.5f) * sy - 0.5f;
-    if (fy < 0) fy = 0;
-    int y0 = static_cast<int>(fy);
-    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
-    float wy = fy - y0;
+  std::vector<int> x0(s), x1(s), y0(s), y1(s);
+  std::vector<int> wx(s), wy(s);  // weights in [0, 256]
+  auto plan = [](int n_src, int n_dst, int* i0, int* i1, int* wt) {
+    const float scale = static_cast<float>(n_src) / n_dst;
+    for (int o = 0; o < n_dst; ++o) {
+      float f = (o + 0.5f) * scale - 0.5f;
+      if (f < 0) f = 0;
+      int i = static_cast<int>(f);
+      i0[o] = i;
+      i1[o] = i + 1 < n_src ? i + 1 : n_src - 1;
+      wt[o] = static_cast<int>((f - i) * 256.0f + 0.5f);
+    }
+  };
+  plan(w, s, x0.data(), x1.data(), wx.data());
+  plan(h, s, y0.data(), y1.data(), wy.data());
+
+  // pass 1: horizontal w -> s on every source row
+  std::vector<uint8_t> mid(static_cast<size_t>(h) * s * 3);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
+    uint8_t* out = mid.data() + static_cast<size_t>(y) * s * 3;
     for (int ox = 0; ox < s; ++ox) {
-      float fx = (ox + 0.5f) * sx - 0.5f;
-      if (fx < 0) fx = 0;
-      int x0 = static_cast<int>(fx);
-      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
-      float wx = fx - x0;
-      const uint8_t* p00 = src + (y0 * w + x0) * 3;
-      const uint8_t* p01 = src + (y0 * w + x1) * 3;
-      const uint8_t* p10 = src + (y1 * w + x0) * 3;
-      const uint8_t* p11 = src + (y1 * w + x1) * 3;
-      uint8_t* o = dst + (oy * s + ox) * 3;
-      for (int c = 0; c < 3; ++c) {
-        float top = p00[c] + (p01[c] - p00[c]) * wx;
-        float bot = p10[c] + (p11[c] - p10[c]) * wx;
-        o[c] = static_cast<uint8_t>(top + (bot - top) * wy + 0.5f);
-      }
+      const uint8_t* a = row + x0[ox] * 3;
+      const uint8_t* b = row + x1[ox] * 3;
+      const int t = wx[ox];
+      uint8_t* o = out + ox * 3;
+      o[0] = static_cast<uint8_t>((a[0] * (256 - t) + b[0] * t + 128) >> 8);
+      o[1] = static_cast<uint8_t>((a[1] * (256 - t) + b[1] * t + 128) >> 8);
+      o[2] = static_cast<uint8_t>((a[2] * (256 - t) + b[2] * t + 128) >> 8);
+    }
+  }
+  // pass 2: vertical h -> s on the reduced rows
+  for (int oy = 0; oy < s; ++oy) {
+    const uint8_t* a = mid.data() + static_cast<size_t>(y0[oy]) * s * 3;
+    const uint8_t* b = mid.data() + static_cast<size_t>(y1[oy]) * s * 3;
+    const int t = wy[oy];
+    uint8_t* o = dst + static_cast<size_t>(oy) * s * 3;
+    const int n = s * 3;
+    for (int i = 0; i < n; ++i) {
+      o[i] = static_cast<uint8_t>((a[i] * (256 - t) + b[i] * t + 128) >> 8);
     }
   }
 }
