@@ -9,7 +9,7 @@
 # Usage: scripts/run_tests.sh [pytest args...]
 set -u
 ATTEMPTS=${ATTEMPTS:-3}
-TIMEOUT=${TIMEOUT:-560}
+TIMEOUT=${TIMEOUT:-1200}
 
 for i in $(seq 1 "$ATTEMPTS"); do
   timeout -s KILL "$TIMEOUT" python -m pytest "$@"
