@@ -52,11 +52,15 @@ def parse_bdd100k_record(
         cls = BDD100K_CATEGORY_TO_ID.get(cat)
         if cls is None:
             continue
-        x1, y1 = box["x1"] / image_width, box["y1"] / image_height
-        x2, y2 = box["x2"] / image_width, box["y2"] / image_height
+        # Clamp both ends: real BDD100K annotations occasionally carry
+        # slightly negative or >image-size pixel coords.
+        x1 = min(max(box["x1"] / image_width, 0.0), 1.0)
+        y1 = min(max(box["y1"] / image_height, 0.0), 1.0)
+        x2 = min(max(box["x2"] / image_width, 0.0), 1.0)
+        y2 = min(max(box["y2"] / image_height, 0.0), 1.0)
         if x2 <= x1 or y2 <= y1:
             continue
-        boxes.append([min(x1, 1.0), min(y1, 1.0), min(x2, 1.0), min(y2, 1.0)])
+        boxes.append([x1, y1, x2, y2])
         labels.append(cls)
         a = lab.get("attributes", {}) or {}
         box_attrs.append(

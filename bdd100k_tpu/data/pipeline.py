@@ -146,6 +146,7 @@ def make_loader(
     process_index: int = 0,
     process_count: int = 1,
     native_decode: bool | None = None,
+    skip_steps: int = 0,
 ) -> Iterator[Batch]:
     """Decode-ahead batch iterator.
 
@@ -157,6 +158,13 @@ def make_loader(
         native/decode_pool.cc — libjpeg DCT downscale + resize on real OS
         threads (SURVEY.md §2.7 "host-side decode workers").
       * Python thread pool over dataset.__getitem__ (cv2/PIL) otherwise.
+
+    `skip_steps`: deterministically fast-forward past the first N batches
+    without decoding them — the resume path (SURVEY.md §5.4 "grain iterator
+    state"). The shuffle is a pure function of (seed, epoch), so a resumed
+    run at step N continues the exact permutation the killed run was on,
+    mid-epoch, instead of reshuffling from epoch 0. Epoch skips only
+    advance the RNG; intra-epoch skips only advance the index cursor.
     """
     use_native = False
     decoder = None
@@ -172,6 +180,19 @@ def make_loader(
     local = np.arange(len(dataset))[process_index::process_count]
     rng = np.random.RandomState(seed)
     epoch = 0
+    skip_batches = 0
+    if skip_steps > 0:
+        per_epoch = (
+            len(local) // batch_size
+            if drop_last
+            else -(-len(local) // batch_size)
+        )
+        if per_epoch > 0:
+            full_epochs, skip_batches = divmod(skip_steps, per_epoch)
+            for _ in range(full_epochs):
+                if shuffle:
+                    rng.permutation(local)  # advance RNG identically
+                epoch += 1
     pool = ThreadPoolExecutor(max_workers=num_workers)
 
     def batch_native(idx):
@@ -212,7 +233,9 @@ def make_loader(
             stop = len(order) - batch_size + 1 if drop_last else len(order)
             if stop <= 0 and not drop_last:
                 stop = len(order)
-            for start in range(0, max(stop, 0), batch_size):
+            for bi, start in enumerate(range(0, max(stop, 0), batch_size)):
+                if bi < skip_batches:  # mid-epoch resume cursor
+                    continue
                 idx = order[start : start + batch_size]
                 if drop_last and len(idx) < batch_size:
                     break
@@ -221,6 +244,7 @@ def make_loader(
                         [idx, np.repeat(idx[-1:], batch_size - len(idx))]
                     )
                 yield batch_native(idx) if use_native else batch_python(idx)
+            skip_batches = 0
             epoch += 1
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
@@ -242,6 +266,16 @@ def prefetch_to_device(
     dq: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
 
+    class _Failure:
+        """Carries a pipeline-thread exception to the consumer.
+
+        Without this, a mid-run decode/IO failure would look like clean
+        iterator exhaustion — training would silently truncate and eval
+        would compute mAP over a partial set (ADVICE r1, medium)."""
+
+        def __init__(self, exc: BaseException):
+            self.exc = exc
+
     def put(batch):
         if sharding is not None:
             return jax.device_put(batch, sharding)
@@ -251,18 +285,20 @@ def prefetch_to_device(
         try:
             for batch in iterator:
                 hq.put(batch)
-        finally:
             hq.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            hq.put(_Failure(e))
 
     def device_producer():
         try:
             while True:
                 item = hq.get()
-                if item is _END:
+                if item is _END or isinstance(item, _Failure):
+                    dq.put(item)
                     return
                 dq.put(put(item))
-        finally:
-            dq.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            dq.put(_Failure(e))
 
     threading.Thread(target=host_producer, daemon=True).start()
     threading.Thread(target=device_producer, daemon=True).start()
@@ -270,4 +306,8 @@ def prefetch_to_device(
         item = dq.get()
         if item is _END:
             return
+        if isinstance(item, _Failure):
+            raise RuntimeError(
+                "input pipeline thread failed; see cause"
+            ) from item.exc
         yield item

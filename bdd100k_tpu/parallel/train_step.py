@@ -46,9 +46,15 @@ class TrainState(struct.PyTreeNode):
 
 def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
     """Warmup → piecewise decay (the reference-style LR plan, SURVEY.md §2.4)."""
-    decay_points = {}
+    # optax.join_schedules re-bases the piecewise schedule at warmup_steps,
+    # so boundary keys must be warmup-relative for decays to fire at
+    # frac*total_steps in ABSOLUTE steps. Collided keys (small total_steps)
+    # multiply rather than silently dropping a decay.
+    offset = max(cfg.warmup_steps, 0)
+    decay_points: dict[int, float] = {}
     for frac, d in zip(cfg.lr_boundaries, cfg.lr_decays):
-        decay_points[int(frac * cfg.total_steps)] = d
+        key = max(int(frac * cfg.total_steps) - offset, 1)
+        decay_points[key] = decay_points.get(key, 1.0) * d
     piecewise = optax.piecewise_constant_schedule(cfg.learning_rate, decay_points)
     if cfg.warmup_steps <= 0:
         return piecewise
@@ -133,6 +139,7 @@ def make_train_step(
     augment_cfg: AugmentConfig | None = None,
     mesh=None,
     donate: bool = True,
+    checkify_errors=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -142,6 +149,12 @@ def make_train_step(
     If `augment_cfg` is given, images are native-resolution uint8 frames and
     the fused augment runs inside this same program; otherwise images are
     already preprocessed float (S, S, 3).
+
+    `checkify_errors` (SURVEY.md §5.2 debug mode): a checkify error set
+    (e.g. ``checkify.index_checks | checkify.float_checks``) — the step is
+    functionalized through `jax.experimental.checkify` and every call
+    raises on out-of-bounds indexing / NaN inside the jitted program, at
+    the cost of a per-step host sync. For debugging, not production.
     """
     if augment_cfg is None:
         augment_cfg = AugmentConfig(out_size=bundle.config.image_size)
@@ -179,6 +192,28 @@ def make_train_step(
             "grad_norm": optax.global_norm(grads),
         }
         return new_state, metrics
+
+    if checkify_errors is not None:
+        from jax.experimental import checkify
+
+        checked = checkify.checkify(step, errors=checkify_errors)
+        if mesh is None:
+            jitted = jax.jit(checked)
+        else:
+            repl = replicated_sharding(mesh)
+            data = batch_sharding(mesh)
+            # out_shardings omitted: the error pytree rides along and the
+            # compiler replicates it. No donation in debug mode.
+            jitted = jax.jit(
+                checked, in_shardings=(repl, repl, data, data, data, data)
+            )
+
+        def run(state, rng, *batch):
+            err, out = jitted(state, rng, *batch)
+            checkify.check_error(err)  # host sync; raises on any check hit
+            return out
+
+        return run
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())

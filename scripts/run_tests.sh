@@ -12,13 +12,21 @@ ATTEMPTS=${ATTEMPTS:-3}
 TIMEOUT=${TIMEOUT:-1200}
 
 for i in $(seq 1 "$ATTEMPTS"); do
-  timeout -s KILL "$TIMEOUT" python -m pytest "$@"
+  # Run pytest as its own session leader so a timeout kills exactly this
+  # run's process group — never other pytest processes on this shared box.
+  setsid python -m pytest "$@" &
+  pid=$!
+  ( sleep "$TIMEOUT"; kill -9 -- -"$pid" 2>/dev/null ) &
+  watchdog=$!
+  wait "$pid"
   code=$?
+  kill "$watchdog" 2>/dev/null
+  wait "$watchdog" 2>/dev/null
   if [ "$code" -ne 137 ] && [ "$code" -ne 124 ]; then
     exit "$code"   # real pass/fail — don't retry test failures
   fi
   echo "=== attempt $i timed out (startup stall?); retrying ===" >&2
-  pkill -9 -f pytest 2>/dev/null
+  kill -9 -- -"$pid" 2>/dev/null
   sleep 2
 done
 echo "=== all $ATTEMPTS attempts stalled ===" >&2

@@ -115,6 +115,39 @@ def test_prefetch_to_device(synthetic_root):
     assert n == 3
 
 
+def test_loader_skip_steps_resumes_permutation(synthetic_root):
+    """skip_steps=k reproduces exactly the batches a fresh loader yields
+    after its first k — kill/resume continues the shuffle mid-epoch
+    (SURVEY.md §5.4 iterator state)."""
+    ds = DetectionDataset.from_bdd100k(
+        synthetic_root / "labels" / "train.json",
+        synthetic_root / "images" / "train",
+    )
+    kw = dict(batch_size=2, shuffle=True, seed=3, num_workers=1,
+              num_epochs=3)
+    full = [b.labels for b in make_loader(ds, **kw)]
+    k = 4  # crosses an epoch boundary (3 batches/epoch at bs=2, 6 imgs)
+    resumed = [b.labels for b in make_loader(ds, skip_steps=k, **kw)]
+    assert len(resumed) == len(full) - k
+    for a, b in zip(full[k:], resumed):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_propagates_loader_errors():
+    """A mid-stream loader failure must raise in the consumer, not look
+    like clean exhaustion (silent train truncation / partial-set eval)."""
+
+    def broken():
+        yield np.zeros((2, 4), np.float32)
+        raise OSError("decode failed")
+
+    it = prefetch_to_device(broken(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="input pipeline"):
+        for _ in it:
+            pass
+
+
 def test_resample_identity():
     img = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3), jnp.float32)
     rect = jnp.asarray([0.0, 0.0, 1.0, 1.0])

@@ -132,6 +132,74 @@ def test_dp8_matches_single_device(head):
     assert divergence < 0.25 * update, (divergence, update)
 
 
+@pytest.mark.parametrize("head", ["ssd", "yolo"])
+def test_dp8_mining_enabled_loss_lockstep(head):
+    """One step with the DEFAULT 3:1 hard-negative mining: DP8 loss matches
+    single-device to loose tolerance. Closes the hole where the softened
+    lockstep test (neg_pos_ratio=1e5 above) could hide a mining/DP
+    interaction — the rank cutoff is an fp-noise lottery at init, so only
+    the loss (not params) is compared, at rtol 1e-2 (VERDICT r1 #8)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    bundle = build_detector(tiny_test_config(head), dtype=jnp.float32)
+    cfg = TrainConfig(batch_size=8, max_boxes=8, warmup_steps=0,
+                      total_steps=100, weight_decay=0.0)
+    batch = _toy_train_batch()
+
+    state1 = create_train_state(bundle, cfg, jax.random.PRNGKey(0))
+    step1 = make_train_step(bundle, AUG, donate=False)
+    mesh = make_mesh(num_data=8)
+    state8 = create_train_state(bundle, cfg, jax.random.PRNGKey(0), mesh=mesh)
+    step8 = make_train_step(bundle, AUG, mesh=mesh, donate=False)
+    batch8 = shard_batch(batch, mesh)
+
+    rng = jax.random.PRNGKey(7)
+    _, m1 = step1(state1, rng, *batch)
+    _, m8 = step8(state8, rng, *batch8)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        float(m1["conf_loss"]), float(m8["conf_loss"]), rtol=2e-2
+    )
+
+
+def test_checkify_catches_bad_loss_inputs():
+    """--checkify mode (SURVEY.md §5.2): checkify instruments the
+    index-heavy matcher/mining/loss path — clean on a healthy batch, and a
+    NaN planted in the predictions IS caught inside the jitted program.
+
+    Scoped to detection_loss rather than the full train step: checkify's
+    error plumbing through a whole conv backbone multiplies CPU compile
+    time past suite budgets (measured: ~10 s for 4 ConvBN layers, minutes
+    for the full model). The full-step mode stays available behind the
+    --checkify CLI flag."""
+    from jax.experimental import checkify
+
+    from bdd100k_tpu.parallel.train_step import detection_loss
+
+    bundle = build_detector(tiny_test_config("ssd"), dtype=jnp.float32)
+    _, boxes, labels, mask = _toy_train_batch(b=2)
+    a = bundle.config.num_anchors
+    loc = jnp.zeros((2, a, 4), jnp.float32)
+    cls = jnp.zeros((2, a, bundle.config.num_classes + 1), jnp.float32)
+
+    def loss(loc, cls):
+        return detection_loss(bundle, loc, cls, boxes, labels, mask).total
+
+    checked = jax.jit(checkify.checkify(
+        jax.value_and_grad(loss),
+        errors=checkify.index_checks | checkify.float_checks,
+    ))
+    err, (val, grad) = checked(loc, cls)
+    checkify.check_error(err)  # healthy input: no error raised
+    assert np.isfinite(float(val))
+
+    err, _ = checked(loc.at[0, 0, 0].set(jnp.nan), cls)
+    with pytest.raises(Exception):  # checkify.JaxRuntimeError on nan
+        checkify.check_error(err)
+
+
 def test_eval_step_runs(tiny_bundle):
     cfg = TrainConfig(batch_size=4, max_boxes=8)
     state = create_train_state(tiny_bundle, cfg, jax.random.PRNGKey(0))
@@ -205,5 +273,20 @@ def test_lr_schedule_shape():
     assert float(sched(0)) < 0.2
     assert abs(float(sched(10)) - 1.0) < 1e-6
     assert abs(float(sched(49)) - 1.0) < 1e-6
-    assert abs(float(sched(60)) - 0.1) < 1e-6
+    # Decays fire at frac*total_steps in ABSOLUTE steps (not warmup-shifted).
+    assert abs(float(sched(50)) - 0.1) < 1e-6
+    assert abs(float(sched(79)) - 0.1) < 1e-6
+    assert abs(float(sched(80)) - 0.01) < 1e-6
     assert abs(float(sched(90)) - 0.01) < 1e-6
+
+
+def test_lr_schedule_colliding_boundaries_multiply():
+    """Two fractions landing on the same int step multiply their decays
+    instead of silently dropping one."""
+    cfg = TrainConfig(
+        learning_rate=1.0, warmup_steps=0, total_steps=10,
+        lr_boundaries=(0.50, 0.55), lr_decays=(0.1, 0.1),
+    )
+    sched = make_lr_schedule(cfg)
+    assert abs(float(sched(4)) - 1.0) < 1e-6
+    assert abs(float(sched(6)) - 0.01) < 1e-6
