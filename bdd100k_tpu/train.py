@@ -71,6 +71,15 @@ def parse_args(argv=None):
                    help="'start,stop' step range to capture a jax profiler trace")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax NaN checking (SURVEY.md §5.2 debug mode)")
+    p.add_argument("--checkify", action="store_true",
+                   help="run the train step under jax.experimental.checkify "
+                        "(bounds + NaN/inf checks inside the jitted program; "
+                        "per-step host sync — debug only, SURVEY.md §5.2)")
+    p.add_argument("--pretrained_backbone", default=None,
+                   help="seed the backbone before training: a .npz from "
+                        "save_params_npz, or a torch .pth/.bin state_dict "
+                        "(torchvision vgg16 / HF-transformers MobileNetV1, "
+                        "picked by the config's backbone; SURVEY.md §2.3)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host DP "
                         "over DCN (SURVEY.md §5.8)")
@@ -101,6 +110,34 @@ def make_dataset(args) -> DetectionDataset:
     return DetectionDataset.from_bdd100k(
         args.labels, args.image_dir, max_boxes=args.max_boxes,
         decode_size=decode_size,
+    )
+
+
+def _seed_backbone(state, det_cfg, path: str):
+    """Transplant pretrained backbone weights into a fresh TrainState,
+    preserving each leaf's device sharding (SURVEY.md §2.3)."""
+    from bdd100k_tpu.utils import pretrained
+
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    if path.endswith(".npz"):
+        merged = pretrained.load_params_npz(variables, path)
+    elif det_cfg.backbone == "vgg16":
+        merged = pretrained.import_torch_vgg16(variables, path)
+    else:
+        merged = pretrained.import_torch_mobilenet_v1(variables, path)
+    print(f"seeded {det_cfg.backbone} backbone from {path}")
+
+    def put_like(old, new):
+        return jax.device_put(np.asarray(new), old.sharding)
+
+    return state.replace(
+        params=jax.tree.map(put_like, state.params, merged["params"]),
+        batch_stats=jax.tree.map(
+            put_like, state.batch_stats, merged["batch_stats"]
+        ),
     )
 
 
@@ -139,6 +176,8 @@ def main(argv=None):
         state, start_step = ckpt.restore_latest(state)
         if start_step:
             print(f"resumed from step {start_step}")
+    if args.pretrained_backbone and not start_step:
+        state = _seed_backbone(state, det_cfg, args.pretrained_backbone)
 
     dataset = make_dataset(args)
     print(f"dataset: {len(dataset)} images")
@@ -150,6 +189,10 @@ def main(argv=None):
         num_workers=args.num_workers,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        # one batch per step ⇒ the input-iterator state is a pure function
+        # of the resumed step: continue the exact shuffle position
+        # (SURVEY.md §5.4 "grain iterator state") instead of re-seeding.
+        skip_steps=start_step,
     )
     batches = prefetch_to_device(loader, size=2, sharding=batch_sharding(mesh))
 
@@ -158,6 +201,13 @@ def main(argv=None):
         from bdd100k_tpu.parallel.shard_map_step import make_shardmap_train_step
 
         step_fn = make_shardmap_train_step(bundle, aug_cfg, mesh=mesh)
+    elif args.checkify:
+        from jax.experimental import checkify
+
+        step_fn = make_train_step(
+            bundle, aug_cfg, mesh=mesh,
+            checkify_errors=checkify.index_checks | checkify.float_checks,
+        )
     else:
         step_fn = make_train_step(bundle, aug_cfg, mesh=mesh)
     eval_fn = None

@@ -13,6 +13,11 @@ backbone via a tf.train.Saver var map. TPU-native equivalents here:
     conv1_1..conv5_3 (fc6/fc7 have no torchvision counterpart in conv
     form and keep their random init, as in the original SSD recipe the
     reference follows — those were re-derived from fc layers there).
+  * torch MobileNetV1 converter — mapping from a HuggingFace
+    `transformers` MobileNetV1 state_dict (conv_stem + 26 alternating
+    dw/pw layers, e.g. `google/mobilenet_v1_1.0_224`) onto
+    MobileNetBackbone's stem + ds1..ds13, INCLUDING BatchNorm running
+    stats (torchvision ships no MobileNetV1; HF does).
 
 All conversions are host-side NumPy; the result is a normal variables
 pytree ready for `jax.device_put`.
@@ -113,6 +118,84 @@ def convert_torch_vgg16(state_dict: Mapping[str, Any]) -> dict[str, np.ndarray]:
             ).astype(np.float32)
             flat[f"{block}/conv{ci + 1}/bias"] = b.astype(np.float32)
     return flat
+
+
+# Our MobileNetBackbone block names in HF layer order: layer.{2k} is the
+# depthwise conv of block k, layer.{2k+1} its pointwise conv (k = 0..12).
+_MOBILENET_BLOCKS = tuple(f"ds{k + 1}" for k in range(13))
+
+
+def convert_torch_mobilenet_v1(
+    state_dict: Mapping[str, Any],
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """HF-transformers MobileNetV1 state_dict → (flat params, flat stats).
+
+    Returns backbone-relative paths for the params tree
+    (`stem/Conv_0/kernel`, `ds3/dw/BatchNorm_0/scale`, …) and the
+    batch_stats tree (`…/BatchNorm_0/{mean,var}`). Torch conv weights are
+    (O, I/g, H, W); flax wants (H, W, I/g, O) — one transpose covers both
+    regular and depthwise convs. Accepts a bare MobileNetV1Model state_dict
+    or a classifier's (keys prefixed `mobilenet_v1.`).
+    """
+
+    def arr(t):
+        return (t.numpy() if hasattr(t, "numpy") else np.asarray(t)).astype(
+            np.float32
+        )
+
+    sd = {
+        (k[len("mobilenet_v1."):] if k.startswith("mobilenet_v1.") else k): v
+        for k, v in state_dict.items()
+    }
+    params: dict[str, np.ndarray] = {}
+    stats: dict[str, np.ndarray] = {}
+
+    def take(src: str, dst: str):
+        params[f"{dst}/Conv_0/kernel"] = np.transpose(
+            arr(sd[f"{src}.convolution.weight"]), (2, 3, 1, 0)
+        )
+        params[f"{dst}/BatchNorm_0/scale"] = arr(sd[f"{src}.normalization.weight"])
+        params[f"{dst}/BatchNorm_0/bias"] = arr(sd[f"{src}.normalization.bias"])
+        stats[f"{dst}/BatchNorm_0/mean"] = arr(
+            sd[f"{src}.normalization.running_mean"]
+        )
+        stats[f"{dst}/BatchNorm_0/var"] = arr(
+            sd[f"{src}.normalization.running_var"]
+        )
+
+    take("conv_stem", "stem")
+    for k, block in enumerate(_MOBILENET_BLOCKS):
+        take(f"layer.{2 * k}", f"{block}/dw")
+        take(f"layer.{2 * k + 1}", f"{block}/pw")
+    return params, stats
+
+
+def import_torch_mobilenet_v1(variables: dict, ckpt_path: str | Path) -> dict:
+    """Load a torch-saved HF MobileNetV1 state_dict into MobileNetBackbone.
+
+    Accepts either a full detector's variables (backbone under
+    params/backbone + batch_stats/backbone) or a bare backbone's variables.
+    BatchNorm running stats import alongside the weights so fine-tuning
+    starts from the ImageNet statistics (SURVEY.md §2.3).
+    """
+    import torch
+
+    state_dict = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    if hasattr(state_dict, "state_dict"):
+        state_dict = state_dict.state_dict()
+    flat_params, flat_stats = convert_torch_mobilenet_v1(state_dict)
+
+    out = dict(variables)
+    for col, flat in (("params", flat_params), ("batch_stats", flat_stats)):
+        if col not in out:
+            continue
+        tree = dict(out[col])
+        if "backbone" in tree:
+            tree["backbone"] = unflatten_into(tree["backbone"], flat)
+        else:
+            tree = unflatten_into(tree, flat)
+        out[col] = tree
+    return out
 
 
 def import_torch_vgg16(variables: dict, ckpt_path: str | Path) -> dict:

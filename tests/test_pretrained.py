@@ -82,6 +82,92 @@ def test_torch_pth_import_roundtrip(tmp_path):
     assert [t.shape for t in taps] == [(1, 8, 8, 512), (1, 4, 4, 1024)]
 
 
+def _fake_hf_mobilenet_v1_state_dict(seed=0, prefix=""):
+    """Synthetic HF-transformers MobileNetV1 layout (conv_stem + 26
+    alternating dw/pw layers), random weights."""
+    rng = np.random.RandomState(seed)
+    chans = [32]
+    for c in (64, 128, 128, 256, 256, 512, 512, 512, 512, 512, 512, 1024,
+              1024):
+        chans.append(c)
+    sd = {}
+
+    def conv_bn(name, w_shape, out_c):
+        sd[f"{prefix}{name}.convolution.weight"] = rng.randn(
+            *w_shape
+        ).astype(np.float32)
+        sd[f"{prefix}{name}.normalization.weight"] = rng.rand(out_c).astype(
+            np.float32
+        )
+        sd[f"{prefix}{name}.normalization.bias"] = rng.randn(out_c).astype(
+            np.float32
+        )
+        sd[f"{prefix}{name}.normalization.running_mean"] = rng.randn(
+            out_c
+        ).astype(np.float32)
+        sd[f"{prefix}{name}.normalization.running_var"] = rng.rand(
+            out_c
+        ).astype(np.float32) + 0.5
+
+    conv_bn("conv_stem", (32, 3, 3, 3), 32)
+    for k in range(13):
+        cin, cout = chans[k], chans[k + 1]
+        conv_bn(f"layer.{2 * k}", (cin, 1, 3, 3), cin)        # depthwise
+        conv_bn(f"layer.{2 * k + 1}", (cout, cin, 1, 1), cout)  # pointwise
+    return sd
+
+
+def test_torch_mobilenet_v1_import(tmp_path):
+    """HF MobileNetV1 state_dict → MobileNetBackbone: weights AND BatchNorm
+    running stats land bit-exact, forward runs (SURVEY.md §2.3)."""
+    import torch
+
+    from bdd100k_tpu.models.mobilenet import MobileNetBackbone
+    from bdd100k_tpu.utils.pretrained import import_torch_mobilenet_v1
+
+    sd = _fake_hf_mobilenet_v1_state_dict(seed=0, prefix="mobilenet_v1.")
+    path = tmp_path / "mobilenet_v1.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+
+    model = MobileNetBackbone(width=1.0, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    merged = import_torch_mobilenet_v1(variables, path)
+
+    # depthwise conv of block 3 (HF layer.4): (C,1,3,3) → (3,3,1,C)
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["ds3"]["dw"]["Conv_0"]["kernel"]),
+        np.transpose(sd["mobilenet_v1.layer.4.convolution.weight"],
+                     (2, 3, 1, 0)),
+    )
+    # pointwise BN running stats of block 13 (HF layer.25)
+    np.testing.assert_allclose(
+        np.asarray(merged["batch_stats"]["ds13"]["pw"]["BatchNorm_0"]["var"]),
+        sd["mobilenet_v1.layer.25.normalization.running_var"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["stem"]["BatchNorm_0"]["scale"]),
+        sd["mobilenet_v1.conv_stem.normalization.weight"],
+    )
+    taps = model.apply(merged, jnp.ones((1, 64, 64, 3)), train=False)
+    assert [t.shape[-1] for t in taps] == [256, 512, 1024]
+
+
+def test_torch_mobilenet_v1_into_detector():
+    """Import also lands inside a full detector's variables (backbone
+    subtree) without touching head params."""
+    from bdd100k_tpu.utils.pretrained import convert_torch_mobilenet_v1
+
+    sd = _fake_hf_mobilenet_v1_state_dict(seed=1)
+    flat_params, flat_stats = convert_torch_mobilenet_v1(sd)
+    assert "stem/Conv_0/kernel" in flat_params
+    assert flat_params["ds7/pw/Conv_0/kernel"].shape == (1, 1, 512, 512)
+    assert flat_stats["ds1/dw/BatchNorm_0/mean"].shape == (32,)
+    assert len(flat_params) == 27 * 3  # (kernel, scale, bias) × 27 convs
+    assert len(flat_stats) == 27 * 2
+
+
 def test_torch_vgg16_mapping_shapes():
     """A synthetic torchvision-layout state_dict maps onto VGG16Backbone
     with exact shape agreement for every conv in conv1_1..conv5_3."""
