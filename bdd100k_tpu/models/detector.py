@@ -31,11 +31,16 @@ class DetectorBundle:
     cell_sizes: jnp.ndarray | None  # (A,) for YOLO decode, else None
 
     def init(self, rng: jax.Array, batch_size: int = 1) -> dict:
+        # One jitted program instead of eager per-param init: on this box
+        # every eager dispatch pays ~10-30 ms of tunnel latency, so the
+        # hundreds of initializer/transfer ops in a flax init cost >2 min
+        # eager but one dispatch (plus a cacheable compile) under jit.
         images = jnp.zeros(
             (batch_size, self.config.image_size, self.config.image_size, 3),
             jnp.float32,
         )
-        return self.model.init(rng, images, train=False)
+        init_fn = jax.jit(self.model.init, static_argnames="train")
+        return init_fn(rng, images, train=False)
 
     def apply(self, variables, images, train: bool = False, **kw):
         return self.model.apply(variables, images, train=train, **kw)

@@ -83,18 +83,28 @@ def create_train_state(
     rng: jax.Array,
     mesh=None,
 ) -> TrainState:
-    variables = bundle.init(rng)
+    # model init + optimizer init + (optional) mesh replication fused into
+    # ONE jitted program: eagerly, every initializer / zeros_like /
+    # device_put leaf is its own dispatch, and on a high-latency link
+    # (this box's tunnel: ~10-30 ms each) a 27M-param state costs minutes;
+    # one program is one dispatch and its compile is persistently cached.
     tx = make_optimizer(cfg)
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
-        tx=tx,
-    )
-    if mesh is not None:  # replicate across the mesh for pure DP
-        state = jax.device_put(state, replicated_sharding(mesh))
-    return state
+    size = bundle.config.image_size
+
+    def _create(rng):
+        variables = bundle.model.init(
+            rng, jnp.zeros((1, size, size, 3), jnp.float32), train=False
+        )
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            tx=tx,
+        )
+
+    out = replicated_sharding(mesh) if mesh is not None else None
+    return jax.jit(_create, out_shardings=out)(rng)
 
 
 def detection_loss(
@@ -236,7 +246,10 @@ def make_eval_step(bundle: DetectorBundle, mesh=None) -> Callable:
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        if images.dtype == jnp.uint8:
+        # images: float (preprocessed), uint8 RGB, or a (y, uv) planar
+        # YUV420 tuple from the wire-efficient loader (half the transfer
+        # bytes; reconstructed in the same fused program).
+        if isinstance(images, (tuple, list)) or images.dtype == jnp.uint8:
             images = preprocess_eval_batch(images, bundle.config.image_size)
         loc, cls = bundle.model.apply(variables, images, train=False)
         return bundle.postprocess(loc, cls)
