@@ -267,20 +267,46 @@ def augment_batch(
     )(keys, images_u8, boxes, labels, mask)
 
 
+def yuv420_to_rgb_batch(y_u8: jnp.ndarray, uv_u8: jnp.ndarray) -> jnp.ndarray:
+    """Planar YUV420 → float RGB in [0, 1], batched, on device.
+
+    y: (B, S, S) uint8 luma; uv: (B, S/2, S/2, 2) uint8 interleaved CbCr.
+    The host ships 1.5 B/px instead of 3 (native/decode_pool.cc
+    dp_decode_batch_yuv420) and this reconstruction — nearest chroma
+    upsample + the BT.601 full-range matrix libjpeg itself uses — fuses
+    into the surrounding preprocess program, so it is free on the VPU while
+    the wire carries half the bytes. JPEG chroma is 4:2:0 at the source, so
+    nothing is lost relative to decoding RGB on host.
+    """
+    yf = y_u8.astype(jnp.float32)
+    uvf = uv_u8.astype(jnp.float32) - 128.0
+    uvf = jnp.repeat(jnp.repeat(uvf, 2, axis=1), 2, axis=2)
+    cb, cr = uvf[..., 0], uvf[..., 1]
+    r = yf + 1.402 * cr
+    g = yf - 0.344136 * cb - 0.714136 * cr
+    b = yf + 1.772 * cb
+    return jnp.clip(jnp.stack([r, g, b], axis=-1) / 255.0, 0.0, 1.0)
+
+
 @partial(jax.jit, static_argnames=("out_size", "norm_mean", "norm_std"))
 def preprocess_eval_batch(
-    images_u8: jnp.ndarray,
+    images_u8,
     out_size: int,
     norm_mean: float = 0.5,
     norm_std: float = 0.5,
 ):
     """Eval/infer path: resize + normalize only (no augment), batched.
 
+    `images_u8` is either (B, H, W, 3) uint8 RGB or a (y, uv) planar-YUV420
+    tuple from the wire-efficient decode path (see yuv420_to_rgb_batch).
     If the input already arrives at (out_size, out_size) — e.g. the loader
     decoded straight to model size on host — the resize folds away and this
     is a pure normalize.
     """
-    img = images_u8.astype(jnp.float32) / 255.0
+    if isinstance(images_u8, (tuple, list)):
+        img = yuv420_to_rgb_batch(*images_u8)
+    else:
+        img = images_u8.astype(jnp.float32) / 255.0
     b, h, w, c = img.shape
     if (h, w) != (out_size, out_size):
         img = jax.image.resize(

@@ -61,6 +61,16 @@ def _load():
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_ubyte),
             ]
+            lib.dp_decode_batch_yuv420.restype = ctypes.c_int
+            lib.dp_decode_batch_yuv420.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_ubyte),
+            ]
             _lib = lib
         except Exception as e:  # missing toolchain/libjpeg → fallback path
             _lib_err = f"{type(e).__name__}: {e}"
@@ -93,6 +103,29 @@ class NativeDecoder:
         if nfail:
             raise ValueError(f"{nfail}/{n} JPEGs failed to decode")
         return out
+
+    def decode_batch_yuv420(
+        self, jpegs: list[bytes], size: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """bytes → (Y (N, S, S), CbCr (N, S/2, S/2, 2)) uint8 planes.
+
+        Half the bytes of RGB on the host→device wire; the device converts
+        back to RGB inside the fused preprocess (augment.yuv420_to_rgb_batch).
+        JPEG chroma is natively 4:2:0, so no source fidelity is lost."""
+        assert size % 2 == 0, "yuv420 needs an even decode size"
+        n = len(jpegs)
+        out_y = np.empty((n, size, size), np.uint8)
+        out_uv = np.empty((n, size // 2, size // 2, 2), np.uint8)
+        bufs = (ctypes.c_char_p * n)(*jpegs)
+        lens = (ctypes.c_long * n)(*[len(j) for j in jpegs])
+        nfail = self._lib.dp_decode_batch_yuv420(
+            self._pool, n, bufs, lens, size,
+            out_y.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            out_uv.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        if nfail:
+            raise ValueError(f"{nfail}/{n} JPEGs failed to decode")
+        return out_y, out_uv
 
     def __del__(self):
         pool = getattr(self, "_pool", None)

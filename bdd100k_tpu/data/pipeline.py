@@ -31,10 +31,33 @@ from bdd100k_tpu.data.bdd100k import (
 
 
 class Batch(NamedTuple):
-    images: np.ndarray   # (B, H, W, 3) uint8
+    images: "np.ndarray | tuple[np.ndarray, np.ndarray]"
+    # (B, H, W, 3) uint8 RGB, or (y (B,S,S), uv (B,S/2,S/2,2)) uint8 planes
+    # when the loader runs with wire_format="yuv420" (half the bytes over
+    # the host→device link; augment.yuv420_to_rgb_batch reconstructs).
     boxes: np.ndarray    # (B, M, 4) float32 normalized corners
     labels: np.ndarray   # (B, M) int32
     mask: np.ndarray     # (B, M) bool
+
+
+def rgb_to_yuv420_host(images: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(N, S, S, 3) uint8 RGB → (y, uv) planes.
+
+    NumPy fallback mirroring native/decode_pool.cc decode_one_yuv420
+    (BT.601 full-range forward matrix + 2x2 chroma mean) for when the
+    native pool isn't built; also the test oracle for it."""
+    f = images.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    n, s = images.shape[0], images.shape[1]
+    uv = np.stack([cb, cr], axis=-1)
+    uv = uv.reshape(n, s // 2, 2, s // 2, 2, 2).mean(axis=(2, 4))
+    return (
+        np.clip(y + 0.5, 0, 255).astype(np.uint8),
+        np.clip(uv + 0.5, 0, 255).astype(np.uint8),
+    )
 
 
 def decode_jpeg_resized(path: str | Path, size: int) -> np.ndarray:
@@ -134,6 +157,27 @@ class DetectionDataset:
             "name": rec["name"],
         }
 
+    def padded_gt_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All ground truth pre-padded into (N, M, 4)/(N, M)/(N, M) arrays.
+
+        Built once and cached: per-batch GT assembly then becomes one numpy
+        gather instead of per-image pad_ground_truth calls — python-side
+        work per batch matters on this one-core host because it competes
+        with decode threads and transfer staging for the GIL/core."""
+        key = (len(self.records), self.max_boxes)
+        if getattr(self, "_gt_cache_key", None) != key:
+            n, m = len(self.records), self.max_boxes
+            boxes = np.zeros((n, m, 4), np.float32)
+            labels = np.zeros((n, m), np.int32)
+            mask = np.zeros((n, m), bool)
+            for i, rec in enumerate(self.records):
+                boxes[i], labels[i], mask[i] = pad_ground_truth(
+                    rec["boxes"], rec["labels"], m
+                )
+            self._gt_arrays = (boxes, labels, mask)
+            self._gt_cache_key = key
+        return self._gt_arrays
+
 
 def make_loader(
     dataset: DetectionDataset,
@@ -147,6 +191,7 @@ def make_loader(
     process_count: int = 1,
     native_decode: bool | None = None,
     skip_steps: int = 0,
+    wire_format: str = "rgb",
 ) -> Iterator[Batch]:
     """Decode-ahead batch iterator.
 
@@ -165,7 +210,17 @@ def make_loader(
     run at step N continues the exact permutation the killed run was on,
     mid-epoch, instead of reshuffling from epoch 0. Epoch skips only
     advance the RNG; intra-epoch skips only advance the index cursor.
+
+    `wire_format="yuv420"` (requires `decode_size`, even): batches carry
+    planar (y, uv) uint8 instead of RGB — half the host→device bytes, with
+    RGB reconstructed on device (augment.yuv420_to_rgb_batch).
     """
+    if wire_format not in ("rgb", "yuv420"):
+        raise ValueError(f"unknown wire_format {wire_format!r}")
+    if wire_format == "yuv420":
+        size = getattr(dataset, "decode_size", None)
+        if size is None or size % 2:
+            raise ValueError("wire_format='yuv420' needs an even decode_size")
     use_native = False
     decoder = None
     if getattr(dataset, "decode_size", None) is not None and native_decode is not False:
@@ -195,6 +250,9 @@ def make_loader(
                 epoch += 1
     pool = ThreadPoolExecutor(max_workers=num_workers)
 
+    if use_native:
+        gt_boxes, gt_labels, gt_mask = dataset.padded_gt_arrays()
+
     def batch_native(idx):
         jpegs = list(
             pool.map(  # overlap file reads
@@ -203,25 +261,24 @@ def make_loader(
                 idx,
             )
         )
-        images = decoder.decode_batch(jpegs, dataset.decode_size)
-        gts = [
-            pad_ground_truth(
-                dataset.records[i]["boxes"], dataset.records[i]["labels"],
-                dataset.max_boxes,
-            )
-            for i in idx
-        ]
-        return Batch(
+        if wire_format == "yuv420":
+            images = decoder.decode_batch_yuv420(jpegs, dataset.decode_size)
+        else:
+            images = decoder.decode_batch(jpegs, dataset.decode_size)
+        return Batch(  # GT: one gather from the pre-padded arrays
             images=images,
-            boxes=np.stack([g[0] for g in gts]),
-            labels=np.stack([g[1] for g in gts]),
-            mask=np.stack([g[2] for g in gts]),
+            boxes=gt_boxes[idx],
+            labels=gt_labels[idx],
+            mask=gt_mask[idx],
         )
 
     def batch_python(idx):
         samples = list(pool.map(dataset.__getitem__, idx))
+        images = np.stack([s["image"] for s in samples])
+        if wire_format == "yuv420":
+            images = rgb_to_yuv420_host(images)
         return Batch(
-            images=np.stack([s["image"] for s in samples]),
+            images=images,
             boxes=np.stack([s["boxes"] for s in samples]),
             labels=np.stack([s["labels"] for s in samples]),
             mask=np.stack([s["mask"] for s in samples]),

@@ -54,6 +54,11 @@ def parse_args(argv=None):
     p.add_argument("--drain_timeout", type=float, default=0.05,
                    help="video mode: max seconds to wait for more frames "
                         "before running a partial batch (continuous batching)")
+    p.add_argument("--wire", choices=("auto", "rgb", "yuv420"),
+                   default="auto",
+                   help="host->device wire format; yuv420 (auto-on with "
+                        "host_resize) ships planar Y + subsampled CbCr — "
+                        "half the transfer bytes of RGB")
     return p.parse_args(argv)
 
 
@@ -67,11 +72,15 @@ class Predictor:
     """
 
     def __init__(self, bundle, state, batch_size: int = 1,
-                 host_resize: bool = False):
+                 host_resize: bool = False, wire: str = "rgb"):
         self.bundle = bundle
         self.state = state
         self.batch_size = batch_size
         self.host_resize = host_resize
+        # yuv420 wire: convert host-resized frames to planar Y + subsampled
+        # CbCr before the transfer — half the bytes again on top of
+        # host_resize; the fused device preprocess reconstructs RGB.
+        self.wire = wire
 
         def fwd(params, batch_stats, images_u8):
             images = preprocess_eval_batch(images_u8, bundle.config.image_size)
@@ -112,8 +121,13 @@ class Predictor:
         if n < self.batch_size:  # pad to the compiled batch shape
             pad = np.repeat(frames_u8[-1:], self.batch_size - n, axis=0)
             frames_u8 = np.concatenate([frames_u8, pad], axis=0)
+        if self.wire == "yuv420":
+            from bdd100k_tpu.data.pipeline import rgb_to_yuv420_host
+
+            frames_u8 = rgb_to_yuv420_host(frames_u8)
         det = self._fwd(
-            self.state.params, self.state.batch_stats, jnp.asarray(frames_u8)
+            self.state.params, self.state.batch_stats,
+            jax.tree.map(jnp.asarray, frames_u8),
         )
         return det, n
 
@@ -138,7 +152,19 @@ def load_predictor(args, batch_size: int,
             state, params_only=True
         )
         print(f"restored step {step}")
-    return Predictor(bundle, state, batch_size, host_resize=host_resize)
+    # yuv420 wire rides on host_resize (frames are then at the even model
+    # size); "auto" enables it there, halving transfer bytes again.
+    wire_arg = getattr(args, "wire", "auto")
+    wire = (
+        "yuv420"
+        if wire_arg == "yuv420"
+        or (wire_arg == "auto" and host_resize
+            and det_cfg.image_size % 2 == 0)
+        else "rgb"
+    )
+    return Predictor(
+        bundle, state, batch_size, host_resize=host_resize, wire=wire
+    )
 
 
 def _want_host_resize(args, default: bool) -> bool:

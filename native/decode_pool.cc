@@ -93,8 +93,13 @@ void resize_bilinear(const uint8_t* src, int h, int w, uint8_t* dst, int s) {
   }
 }
 
-// Decode one JPEG to (size, size, 3) RGB. Returns true on success.
-bool decode_one(const uint8_t* data, long len, int size, uint8_t* out) {
+// Decode one JPEG to (size, size, 3) interleaved pixels in `cs` (JCS_RGB
+// or JCS_YCbCr — the latter skips libjpeg's color transform entirely since
+// JPEG data is natively YCbCr). Grayscale sources are decoded as 1-channel
+// and expanded (g,g,g) for RGB / (Y,128,128) for YCbCr. Returns true on
+// success.
+bool decode_interleaved(const uint8_t* data, long len, int size,
+                        J_COLOR_SPACE cs, uint8_t* out) {
   jpeg_decompress_struct cinfo;
   ErrorMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
@@ -106,7 +111,9 @@ bool decode_one(const uint8_t* data, long len, int size, uint8_t* out) {
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  const bool gray =
+      cs == JCS_YCbCr && cinfo.jpeg_color_space == JCS_GRAYSCALE;
+  cinfo.out_color_space = gray ? JCS_GRAYSCALE : cs;
 
   // Deepest DCT-domain downscale (1/2, 1/4, 1/8) that still oversamples the
   // target — skips most of the IDCT work.
@@ -119,18 +126,67 @@ bool decode_one(const uint8_t* data, long len, int size, uint8_t* out) {
 
   jpeg_start_decompress(&cinfo);
   const int ow = cinfo.output_width, oh = cinfo.output_height;
-  std::vector<uint8_t> buf(static_cast<size_t>(ow) * oh * 3);
+  const int comps = cinfo.output_components;  // 1 (gray) or 3
+  std::vector<uint8_t> buf(static_cast<size_t>(ow) * oh * comps);
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = buf.data() + static_cast<size_t>(cinfo.output_scanline) * ow * 3;
+    uint8_t* row =
+        buf.data() + static_cast<size_t>(cinfo.output_scanline) * ow * comps;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
 
+  if (comps == 1) {  // expand gray to 3-channel before the shared resize
+    std::vector<uint8_t> buf3(static_cast<size_t>(ow) * oh * 3);
+    for (size_t i = 0, n = static_cast<size_t>(ow) * oh; i < n; ++i) {
+      buf3[i * 3] = buf[i];
+      buf3[i * 3 + 1] = 128;
+      buf3[i * 3 + 2] = 128;
+    }
+    buf.swap(buf3);
+  }
+
   if (ow == size && oh == size) {
     std::memcpy(out, buf.data(), static_cast<size_t>(size) * size * 3);
   } else {
     resize_bilinear(buf.data(), oh, ow, out, size);
+  }
+  return true;
+}
+
+// Decode one JPEG to (size, size, 3) RGB. Returns true on success.
+bool decode_one(const uint8_t* data, long len, int size, uint8_t* out) {
+  return decode_interleaved(data, len, size, JCS_RGB, out);
+}
+
+// Decode one JPEG to planar YUV420: Y (size, size) + interleaved CbCr
+// (size/2, size/2, 2). Halves the bytes shipped to the accelerator vs RGB
+// (1.5 B/px vs 3 B/px) at no fidelity cost worth naming: JPEG chroma is
+// already 4:2:0-subsampled at the source, and the device reconstructs RGB
+// in the fused preprocess program (data/augment.py yuv420_to_rgb_batch).
+// `size` must be even.
+bool decode_one_yuv420(const uint8_t* data, long len, int size,
+                       uint8_t* out_y, uint8_t* out_uv) {
+  std::vector<uint8_t> ycc(static_cast<size_t>(size) * size * 3);
+  if (!decode_interleaved(data, len, size, JCS_YCbCr, ycc.data()))
+    return false;
+  const int half = size / 2;
+  for (int y = 0; y < size; ++y) {
+    const uint8_t* row = ycc.data() + static_cast<size_t>(y) * size * 3;
+    uint8_t* dst = out_y + static_cast<size_t>(y) * size;
+    for (int x = 0; x < size; ++x) dst[x] = row[x * 3];
+  }
+  for (int cy = 0; cy < half; ++cy) {
+    const uint8_t* r0 = ycc.data() + static_cast<size_t>(2 * cy) * size * 3;
+    const uint8_t* r1 = r0 + static_cast<size_t>(size) * 3;
+    uint8_t* dst = out_uv + static_cast<size_t>(cy) * half * 2;
+    for (int cx = 0; cx < half; ++cx) {
+      const int o = 2 * cx * 3;
+      dst[cx * 2] = static_cast<uint8_t>(
+          (r0[o + 1] + r0[o + 4] + r1[o + 1] + r1[o + 4] + 2) >> 2);
+      dst[cx * 2 + 1] = static_cast<uint8_t>(
+          (r0[o + 2] + r0[o + 5] + r1[o + 2] + r1[o + 5] + 2) >> 2);
+    }
   }
   return true;
 }
@@ -215,6 +271,34 @@ int dp_decode_batch(void* pool, int n, const unsigned char** jpegs,
       uint8_t* dst = out + stride * i;
       if (!decode_one(jpegs[i], lens[i], size, dst)) {
         std::memset(dst, 0, stride);
+        failed[i] = 1;
+      }
+      latch.count_down();
+    });
+  }
+  latch.wait();
+  int nfail = 0;
+  for (int i = 0; i < n; ++i) nfail += failed[i];
+  return nfail;
+}
+
+// Batch variant of decode_one_yuv420: out_y is n*size*size bytes, out_uv is
+// n*(size/2)*(size/2)*2 bytes. Same failure contract as dp_decode_batch.
+int dp_decode_batch_yuv420(void* pool, int n, const unsigned char** jpegs,
+                           const long* lens, int size, unsigned char* out_y,
+                           unsigned char* out_uv) {
+  Pool* p = static_cast<Pool*>(pool);
+  Latch latch(n);
+  std::vector<int> failed(n, 0);
+  const size_t ystride = static_cast<size_t>(size) * size;
+  const size_t uvstride = static_cast<size_t>(size / 2) * (size / 2) * 2;
+  for (int i = 0; i < n; ++i) {
+    p->submit([&, i] {
+      uint8_t* dy = out_y + ystride * i;
+      uint8_t* duv = out_uv + uvstride * i;
+      if (!decode_one_yuv420(jpegs[i], lens[i], size, dy, duv)) {
+        std::memset(dy, 0, ystride);
+        std::memset(duv, 128, uvstride);
         failed[i] = 1;
       }
       latch.count_down();

@@ -148,6 +148,69 @@ def test_prefetch_propagates_loader_errors():
             pass
 
 
+def _smooth_rgb(n=2, s=64):
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    img = np.stack(
+        [xx * 255 / s, yy * 255 / s, (xx + yy) * 255 / (2 * s)], axis=-1
+    )
+    return np.broadcast_to(img, (n, s, s, 3)).astype(np.uint8).copy()
+
+
+def test_yuv420_roundtrip_device():
+    """rgb→(host yuv420)→(device rgb) reconstructs smooth images within the
+    chroma-subsampling budget (wire-efficient path, SURVEY.md §2.7)."""
+    from bdd100k_tpu.data.augment import yuv420_to_rgb_batch
+    from bdd100k_tpu.data.pipeline import rgb_to_yuv420_host
+
+    rgb = _smooth_rgb()
+    y, uv = rgb_to_yuv420_host(rgb)
+    assert y.shape == (2, 64, 64) and uv.shape == (2, 32, 32, 2)
+    rec = np.asarray(yuv420_to_rgb_batch(jnp.asarray(y), jnp.asarray(uv)))
+    err = np.abs(rec * 255 - rgb.astype(np.float32))
+    assert err.mean() < 1.5 and err.max() < 8, (err.mean(), err.max())
+
+
+def test_native_yuv420_matches_host_oracle(synthetic_root):
+    """Native planar decode agrees with decode-RGB + host conversion (the
+    same linear ops in either order) to ±3."""
+    from bdd100k_tpu.data import native_decode as nd
+    from bdd100k_tpu.data.pipeline import rgb_to_yuv420_host
+
+    if not nd.available():
+        pytest.skip("native decode pool not built")
+    jpegs = [
+        p.read_bytes()
+        for p in sorted((synthetic_root / "images" / "train").iterdir())[:3]
+    ]
+    dec = nd.NativeDecoder(2)
+    rgb = dec.decode_batch(jpegs, 300)
+    y, uv = dec.decode_batch_yuv420(jpegs, 300)
+    oy, ouv = rgb_to_yuv420_host(rgb)
+    assert np.abs(y.astype(int) - oy.astype(int)).max() <= 3
+    assert np.abs(uv.astype(int) - ouv.astype(int)).max() <= 3
+
+
+def test_loader_yuv420_wire(synthetic_root):
+    """wire_format='yuv420' loader feeds preprocess_eval_batch end to end
+    and matches the RGB wire within the subsampling budget."""
+    ds = DetectionDataset.from_bdd100k(
+        synthetic_root / "labels" / "train.json",
+        synthetic_root / "images" / "train",
+        decode_size=64,
+    )
+    kw = dict(batch_size=2, shuffle=False, num_workers=1, num_epochs=1)
+    b_rgb = next(make_loader(ds, **kw))
+    b_yuv = next(make_loader(ds, wire_format="yuv420", **kw))
+    y, uv = b_yuv.images
+    assert y.shape == (2, 64, 64) and uv.shape == (2, 32, 32, 2)
+    out_rgb = preprocess_eval_batch(b_rgb.images, 64)
+    out_yuv = preprocess_eval_batch(tuple(b_yuv.images), 64)
+    assert out_yuv.shape == out_rgb.shape == (2, 64, 64, 3)
+    err = np.abs(np.asarray(out_yuv) - np.asarray(out_rgb))
+    # inputs are normalized to mean 0.5/std 0.5 ⇒ range [-1, 1]
+    assert err.mean() < 0.05, err.mean()
+
+
 def test_resample_identity():
     img = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3), jnp.float32)
     rect = jnp.asarray([0.0, 0.0, 1.0, 1.0])
