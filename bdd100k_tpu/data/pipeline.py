@@ -41,19 +41,20 @@ class Batch(NamedTuple):
 
 
 def rgb_to_yuv420_host(images: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(N, S, S, 3) uint8 RGB → (y, uv) planes.
+    """(N, H, W, 3) uint8 RGB → (y (N,H,W), uv (N,H/2,W/2,2)) planes.
 
     NumPy fallback mirroring native/decode_pool.cc decode_one_yuv420
     (BT.601 full-range forward matrix + 2x2 chroma mean) for when the
-    native pool isn't built; also the test oracle for it."""
+    native pool isn't built; also the test oracle for it. H and W must be
+    even."""
     f = images.astype(np.float32)
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-    n, s = images.shape[0], images.shape[1]
+    n, h, w = images.shape[:3]
     uv = np.stack([cb, cr], axis=-1)
-    uv = uv.reshape(n, s // 2, 2, s // 2, 2, 2).mean(axis=(2, 4))
+    uv = uv.reshape(n, h // 2, 2, w // 2, 2, 2).mean(axis=(2, 4))
     return (
         np.clip(y + 0.5, 0, 255).astype(np.uint8),
         np.clip(uv + 0.5, 0, 255).astype(np.uint8),

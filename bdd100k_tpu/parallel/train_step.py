@@ -170,6 +170,14 @@ def make_train_step(
         augment_cfg = AugmentConfig(out_size=bundle.config.image_size)
 
     def step(state: TrainState, rng, images, gt_boxes, gt_labels, gt_mask):
+        if isinstance(images, (tuple, list)):
+            # planar YUV420 wire (half the host->HBM bytes): reconstruct
+            # uint8 RGB on device, then the normal fused augment path
+            from bdd100k_tpu.data.augment import yuv420_to_rgb_batch
+
+            images = (yuv420_to_rgb_batch(*images) * 255.0 + 0.5).astype(
+                jnp.uint8
+            )
         if images.dtype == jnp.uint8:
             images, gt_boxes, gt_labels, gt_mask = augment_batch(
                 rng, images, gt_boxes, gt_labels, gt_mask, augment_cfg

@@ -38,8 +38,10 @@ def main():
                    help="end-to-end phase batch size")
     p.add_argument("--device_batch_size", type=int, default=128,
                    help="device-resident phase batch size (chip capability)")
-    p.add_argument("--images", type=int, default=256)
-    p.add_argument("--rounds", type=int, default=2)
+    # enough batches that the steady-state e2e rate isn't inflated by the
+    # ~7 batches the decode-ahead queues pre-fill during compile/warmup
+    p.add_argument("--images", type=int, default=384)
+    p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--config", default="ssd_mobilenet_300")
     p.add_argument("--preselect", choices=("exact", "approx"), default="exact",

@@ -61,13 +61,22 @@ def main():
     )
     dataset = synthetic_dataset("/tmp/bdd_bench", args.images)
     dataset.decode_size = args.decode_size or None
+    from bdd100k_tpu.data import native_decode as nd
+
+    wire = (
+        "yuv420"
+        if dataset.decode_size and dataset.decode_size % 2 == 0
+        and nd.available()
+        else "rgb"
+    )
+    log(f"wire format: {wire}")
     rng = jax.random.PRNGKey(1)
 
     epoch_rates = []
     for epoch in range(args.epochs):
         loader = make_loader(
             dataset, args.batch_size, shuffle=True, seed=epoch,
-            num_epochs=1, num_workers=args.num_workers,
+            num_epochs=1, num_workers=args.num_workers, wire_format=wire,
         )
         batches = prefetch_to_device(
             loader, size=2, sharding=batch_sharding(mesh)

@@ -200,6 +200,23 @@ def test_checkify_catches_bad_loss_inputs():
         checkify.check_error(err)
 
 
+def test_train_step_yuv420_wire(tiny_bundle):
+    """The train step accepts planar (y, uv) wire batches: on-device RGB
+    reconstruction feeds the same fused augment path (finite loss)."""
+    from bdd100k_tpu.data.pipeline import rgb_to_yuv420_host
+
+    cfg = TrainConfig(batch_size=8, max_boxes=8, warmup_steps=0)
+    state = create_train_state(tiny_bundle, cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(tiny_bundle, AUG, donate=False)
+    images, boxes, labels, mask = _toy_train_batch()
+    y, uv = rgb_to_yuv420_host(np.asarray(images))
+    _, metrics = step_fn(
+        state, jax.random.PRNGKey(1),
+        (jnp.asarray(y), jnp.asarray(uv)), boxes, labels, mask,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_eval_step_runs(tiny_bundle):
     cfg = TrainConfig(batch_size=4, max_boxes=8)
     state = create_train_state(tiny_bundle, cfg, jax.random.PRNGKey(0))
