@@ -71,6 +71,17 @@ def _load():
                 ctypes.POINTER(ctypes.c_ubyte),
                 ctypes.POINTER(ctypes.c_ubyte),
             ]
+            lib.dp_resize_yuv420_batch.restype = ctypes.c_int
+            lib.dp_resize_yuv420_batch.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_ubyte),
+            ]
             _lib = lib
         except Exception as e:  # missing toolchain/libjpeg → fallback path
             _lib_err = f"{type(e).__name__}: {e}"
@@ -125,6 +136,28 @@ class NativeDecoder:
         )
         if nfail:
             raise ValueError(f"{nfail}/{n} JPEGs failed to decode")
+        return out_y, out_uv
+
+    def resize_yuv420_batch(
+        self, frames: np.ndarray, size: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Decoded RGB (N, H, W, 3) uint8 → resized planar (y, uv).
+
+        The streaming hot path: bilinear resize + BT.601 conversion on the
+        pool's OS threads behind one GIL-releasing call — replaces
+        per-frame cv2.resize + numpy color math (infer video mode)."""
+        assert size % 2 == 0, "yuv420 needs an even size"
+        frames = np.ascontiguousarray(frames, dtype=np.uint8)
+        n, h, w = frames.shape[:3]
+        out_y = np.empty((n, size, size), np.uint8)
+        out_uv = np.empty((n, size // 2, size // 2, 2), np.uint8)
+        self._lib.dp_resize_yuv420_batch(
+            self._pool, n,
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            h, w, size,
+            out_y.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            out_uv.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
         return out_y, out_uv
 
     def __del__(self):

@@ -81,6 +81,12 @@ class Predictor:
         # CbCr before the transfer — half the bytes again on top of
         # host_resize; the fused device preprocess reconstructs RGB.
         self.wire = wire
+        self._native = None
+        if wire == "yuv420" and host_resize:
+            from bdd100k_tpu.data import native_decode as nd
+
+            if nd.available():  # one C call: batched resize + conversion
+                self._native = nd.NativeDecoder(4)
 
         def fwd(params, batch_stats, images_u8):
             images = preprocess_eval_batch(images_u8, bundle.config.image_size)
@@ -116,15 +122,27 @@ class Predictor:
         blocking — lets the caller overlap decode of the next batch with
         device compute of this one."""
         n = frames_u8.shape[0]
-        if self.host_resize:
-            frames_u8 = self._resize_host(frames_u8)
-        if n < self.batch_size:  # pad to the compiled batch shape
-            pad = np.repeat(frames_u8[-1:], self.batch_size - n, axis=0)
-            frames_u8 = np.concatenate([frames_u8, pad], axis=0)
-        if self.wire == "yuv420":
-            from bdd100k_tpu.data.pipeline import rgb_to_yuv420_host
+        if self._native is not None:
+            # resize + YUV conversion fused into one GIL-releasing C call
+            # (native/decode_pool.cc dp_resize_yuv420_batch), then pad the
+            # small planes instead of full-res frames
+            s = self.bundle.config.image_size
+            y, uv = self._native.resize_yuv420_batch(frames_u8, s)
+            if n < self.batch_size:
+                k = self.batch_size - n
+                y = np.concatenate([y, np.repeat(y[-1:], k, axis=0)])
+                uv = np.concatenate([uv, np.repeat(uv[-1:], k, axis=0)])
+            frames_u8 = (y, uv)
+        else:
+            if self.host_resize:
+                frames_u8 = self._resize_host(frames_u8)
+            if n < self.batch_size:  # pad to the compiled batch shape
+                pad = np.repeat(frames_u8[-1:], self.batch_size - n, axis=0)
+                frames_u8 = np.concatenate([frames_u8, pad], axis=0)
+            if self.wire == "yuv420":
+                from bdd100k_tpu.data.pipeline import rgb_to_yuv420_host
 
-            frames_u8 = rgb_to_yuv420_host(frames_u8)
+                frames_u8 = rgb_to_yuv420_host(frames_u8)
         det = self._fwd(
             self.state.params, self.state.batch_stats,
             jax.tree.map(jnp.asarray, frames_u8),

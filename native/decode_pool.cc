@@ -191,6 +191,39 @@ bool decode_one_yuv420(const uint8_t* data, long len, int size,
   return true;
 }
 
+// RGB (size, size, 3) interleaved → planar Y + 2x2-mean CbCr, fixed-point
+// BT.601 full-range (the same matrix the JPEG path uses). Chroma is
+// computed on the 2x2-averaged RGB — identical to averaging full-res
+// chroma (the transform is linear) at a quarter of the multiplies.
+void rgb_to_yuv420(const uint8_t* rgb, int size, uint8_t* out_y,
+                   uint8_t* out_uv) {
+  const int half = size / 2;
+  for (int y = 0; y < size; ++y) {
+    const uint8_t* row = rgb + static_cast<size_t>(y) * size * 3;
+    uint8_t* dst = out_y + static_cast<size_t>(y) * size;
+    for (int x = 0; x < size; ++x) {
+      const uint8_t* p = row + x * 3;
+      dst[x] = static_cast<uint8_t>((77 * p[0] + 150 * p[1] + 29 * p[2] + 128) >> 8);
+    }
+  }
+  for (int cy = 0; cy < half; ++cy) {
+    const uint8_t* r0 = rgb + static_cast<size_t>(2 * cy) * size * 3;
+    const uint8_t* r1 = r0 + static_cast<size_t>(size) * 3;
+    uint8_t* dst = out_uv + static_cast<size_t>(cy) * half * 2;
+    for (int cx = 0; cx < half; ++cx) {
+      const int o = 2 * cx * 3;
+      const int r = r0[o] + r0[o + 3] + r1[o] + r1[o + 3];
+      const int g = r0[o + 1] + r0[o + 4] + r1[o + 1] + r1[o + 4];
+      const int b = r0[o + 2] + r0[o + 5] + r1[o + 2] + r1[o + 5];
+      // inputs are 4x-summed ⇒ >>10 instead of >>8
+      dst[cx * 2] = static_cast<uint8_t>(
+          ((-43 * r - 85 * g + 128 * b + 512) >> 10) + 128);
+      dst[cx * 2 + 1] = static_cast<uint8_t>(
+          ((128 * r - 107 * g - 21 * b + 512) >> 10) + 128);
+    }
+  }
+}
+
 struct Pool {
   std::vector<std::thread> threads;
   std::queue<std::function<void()>> q;
@@ -308,6 +341,36 @@ int dp_decode_batch_yuv420(void* pool, int n, const unsigned char** jpegs,
   int nfail = 0;
   for (int i = 0; i < n; ++i) nfail += failed[i];
   return nfail;
+}
+
+// Streaming fast path: already-decoded RGB frames (n, h, w, 3) → bilinear
+// resize to (size, size) → planar YUV420, one worker per frame. Replaces
+// per-frame cv2.resize + numpy color math on the hot video path
+// (infer.Predictor / BASELINE config 5) with one GIL-releasing call.
+int dp_resize_yuv420_batch(void* pool, int n, const unsigned char* frames,
+                           int h, int w, int size, unsigned char* out_y,
+                           unsigned char* out_uv) {
+  Pool* p = static_cast<Pool*>(pool);
+  Latch latch(n);
+  const size_t fstride = static_cast<size_t>(h) * w * 3;
+  const size_t ystride = static_cast<size_t>(size) * size;
+  const size_t uvstride = static_cast<size_t>(size / 2) * (size / 2) * 2;
+  for (int i = 0; i < n; ++i) {
+    p->submit([&, i] {
+      std::vector<uint8_t> rgb(static_cast<size_t>(size) * size * 3);
+      const uint8_t* src = frames + fstride * i;
+      if (h == size && w == size) {
+        std::memcpy(rgb.data(), src, rgb.size());
+      } else {
+        resize_bilinear(src, h, w, rgb.data(), size);
+      }
+      rgb_to_yuv420(rgb.data(), size, out_y + ystride * i,
+                    out_uv + uvstride * i);
+      latch.count_down();
+    });
+  }
+  latch.wait();
+  return 0;
 }
 
 }  // extern "C"

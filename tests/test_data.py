@@ -190,6 +190,28 @@ def test_native_yuv420_matches_host_oracle(synthetic_root):
     assert np.abs(uv.astype(int) - ouv.astype(int)).max() <= 3
 
 
+def test_native_resize_yuv420_matches_oracle():
+    """Native batched resize+convert (the streaming hot path) agrees with
+    the numpy conversion oracle at identity size, and stays within the
+    resize-impl budget when actually resizing."""
+    from bdd100k_tpu.data import native_decode as nd
+    from bdd100k_tpu.data.pipeline import rgb_to_yuv420_host
+
+    if not nd.available():
+        pytest.skip("native decode pool not built")
+    dec = nd.NativeDecoder(2)
+    rgb = _smooth_rgb(n=2, s=64)
+    y, uv = dec.resize_yuv420_batch(rgb, 64)  # identity resize
+    oy, ouv = rgb_to_yuv420_host(rgb)
+    assert np.abs(y.astype(int) - oy.astype(int)).max() <= 1
+    assert np.abs(uv.astype(int) - ouv.astype(int)).max() <= 1
+
+    big = _smooth_rgb(n=1, s=128)
+    y2, uv2 = dec.resize_yuv420_batch(big, 64)
+    # smooth gradient: downscale then convert ≈ convert at full res
+    assert np.abs(y2.astype(int) - oy[:1].astype(int)).max() <= 4
+
+
 def test_loader_yuv420_wire(synthetic_root):
     """wire_format='yuv420' loader feeds preprocess_eval_batch end to end
     and matches the RGB wire within the subsampling budget."""
