@@ -217,11 +217,12 @@ def main():
     # ---- device-resident throughput at the chip's best batch size ----
     resident = warm_input(args.device_batch_size)
     jax.block_until_ready(infer_step(variables, resident))
+    n_iters = 30  # enough that the final-sync tunnel RTT (~30 ms) is noise
     t0 = time.monotonic()
-    for _ in range(10):
+    for _ in range(n_iters):
         det = infer_step(variables, resident)
     jax.block_until_ready(det)
-    device_only = 10 * args.device_batch_size / (time.monotonic() - t0)
+    device_only = n_iters * args.device_batch_size / (time.monotonic() - t0)
     log(f"device-resident (b{args.device_batch_size}): {device_only:.1f} imgs/sec")
 
     # ---- p50 batch=1 latency, device-resident input ----
