@@ -159,6 +159,150 @@ bool decode_one(const uint8_t* data, long len, int size, uint8_t* out) {
   return decode_interleaved(data, len, size, JCS_RGB, out);
 }
 
+// Single-channel bilinear resize, same separable fixed-point scheme as
+// resize_bilinear above. `stride` is the source row pitch in bytes.
+void resize_bilinear_1ch(const uint8_t* src, int h, int w, int stride,
+                         uint8_t* dst, int oh, int ow) {
+  std::vector<int> x0(ow), x1(ow), y0(oh), y1(oh);
+  std::vector<int> wx(ow), wy(oh);
+  auto plan = [](int n_src, int n_dst, int* i0, int* i1, int* wt) {
+    const float scale = static_cast<float>(n_src) / n_dst;
+    for (int o = 0; o < n_dst; ++o) {
+      float f = (o + 0.5f) * scale - 0.5f;
+      if (f < 0) f = 0;
+      int i = static_cast<int>(f);
+      i0[o] = i;
+      i1[o] = i + 1 < n_src ? i + 1 : n_src - 1;
+      wt[o] = static_cast<int>((f - i) * 256.0f + 0.5f);
+    }
+  };
+  plan(w, ow, x0.data(), x1.data(), wx.data());
+  plan(h, oh, y0.data(), y1.data(), wy.data());
+  std::vector<uint8_t> mid(static_cast<size_t>(h) * ow);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * stride;
+    uint8_t* o = mid.data() + static_cast<size_t>(y) * ow;
+    for (int ox = 0; ox < ow; ++ox) {
+      const int t = wx[ox];
+      o[ox] = static_cast<uint8_t>(
+          (row[x0[ox]] * (256 - t) + row[x1[ox]] * t + 128) >> 8);
+    }
+  }
+  for (int oy = 0; oy < oh; ++oy) {
+    const uint8_t* a = mid.data() + static_cast<size_t>(y0[oy]) * ow;
+    const uint8_t* b = mid.data() + static_cast<size_t>(y1[oy]) * ow;
+    const int t = wy[oy];
+    uint8_t* o = dst + static_cast<size_t>(oy) * ow;
+    for (int i = 0; i < ow; ++i) {
+      o[i] = static_cast<uint8_t>((a[i] * (256 - t) + b[i] * t + 128) >> 8);
+    }
+  }
+}
+
+// Fast path for 4:2:0 YCbCr sources (the overwhelmingly common JPEG
+// layout): jpeg_read_raw_data hands back the native downsampled planes,
+// skipping libjpeg's chroma upsampling and our interleave/strip/subsample
+// round trip; each plane is then resized directly (1-channel passes, the
+// chroma at size/2). Returns false if the source isn't plain 4:2:0 —
+// caller falls back to the general interleaved path.
+bool decode_one_yuv420_raw(const uint8_t* data, long len, int size,
+                           uint8_t* out_y, uint8_t* out_uv) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr err;
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.jpeg_color_space != JCS_YCbCr || cinfo.num_components != 3 ||
+      cinfo.comp_info[0].h_samp_factor != 2 ||
+      cinfo.comp_info[0].v_samp_factor != 2 ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 ||
+      cinfo.comp_info[2].v_samp_factor != 1) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.raw_data_out = TRUE;
+  cinfo.do_fancy_upsampling = FALSE;
+
+  const int w = cinfo.image_width, h = cinfo.image_height;
+  int denom = 1;
+  while (denom < 8 && (w / (denom * 2)) >= size && (h / (denom * 2)) >= size)
+    denom *= 2;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom;
+
+  jpeg_start_decompress(&cinfo);
+  // Per-component geometry. NB classic-IJG scaling only shrinks the
+  // DCT_scaled_size of components it can: at scale 1/2 the luma IDCT runs
+  // 4x4 but chroma stays 8x8, so the chroma plane comes out the SAME size
+  // as the scaled luma (e.g. 640x360 + 640x360 chroma for a 1280x720
+  // 4:2:0 source at 1/2). Rows-per-call and buffer sizes must come from
+  // each component's v_samp_factor * DCT_scaled_size, not from assuming
+  // "chroma = luma/2".
+  const int yw = cinfo.comp_info[0].downsampled_width;
+  const int yh = cinfo.comp_info[0].downsampled_height;
+  const int cw = cinfo.comp_info[1].downsampled_width;
+  const int ch = cinfo.comp_info[1].downsampled_height;
+  const int y_rows =
+      cinfo.comp_info[0].v_samp_factor * cinfo.comp_info[0].DCT_scaled_size;
+  const int c_rows =
+      cinfo.comp_info[1].v_samp_factor * cinfo.comp_info[1].DCT_scaled_size;
+  const int n_calls = (yh + y_rows - 1) / y_rows;
+  const int ypad = n_calls * y_rows;
+  const int cpad = n_calls * c_rows;
+  // libjpeg may write up to a whole DCT block width — pad row strides.
+  const int ystride = ((yw + 15) / 16) * 16;
+  const int cstride = ((cw + 15) / 16) * 16;
+
+  std::vector<uint8_t> ybuf(static_cast<size_t>(ypad) * ystride);
+  std::vector<uint8_t> cbbuf(static_cast<size_t>(cpad) * cstride);
+  std::vector<uint8_t> crbuf(static_cast<size_t>(cpad) * cstride);
+  std::vector<JSAMPROW> yrows(ypad), cbrows(cpad), crrows(cpad);
+  for (int i = 0; i < ypad; ++i)
+    yrows[i] = ybuf.data() + static_cast<size_t>(i) * ystride;
+  for (int i = 0; i < cpad; ++i) {
+    cbrows[i] = cbbuf.data() + static_cast<size_t>(i) * cstride;
+    crrows[i] = crbuf.data() + static_cast<size_t>(i) * cstride;
+  }
+  int call = 0;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW* yp = &yrows[static_cast<size_t>(call) * y_rows];
+    JSAMPROW* cbp = &cbrows[static_cast<size_t>(call) * c_rows];
+    JSAMPROW* crp = &crrows[static_cast<size_t>(call) * c_rows];
+    JSAMPARRAY planes[3] = {yp, cbp, crp};
+    if (jpeg_read_raw_data(&cinfo, planes, y_rows) == 0) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    ++call;
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  const int half = size / 2;
+  if (yh == size && yw == size && ystride == size) {
+    std::memcpy(out_y, ybuf.data(), static_cast<size_t>(size) * size);
+  } else {
+    resize_bilinear_1ch(ybuf.data(), yh, yw, ystride, out_y, size, size);
+  }
+  std::vector<uint8_t> cb(static_cast<size_t>(half) * half);
+  std::vector<uint8_t> cr(static_cast<size_t>(half) * half);
+  resize_bilinear_1ch(cbbuf.data(), ch, cw, cstride, cb.data(), half, half);
+  resize_bilinear_1ch(crbuf.data(), ch, cw, cstride, cr.data(), half, half);
+  for (size_t i = 0, n = static_cast<size_t>(half) * half; i < n; ++i) {
+    out_uv[i * 2] = cb[i];
+    out_uv[i * 2 + 1] = cr[i];
+  }
+  return true;
+}
+
 // Decode one JPEG to planar YUV420: Y (size, size) + interleaved CbCr
 // (size/2, size/2, 2). Halves the bytes shipped to the accelerator vs RGB
 // (1.5 B/px vs 3 B/px) at no fidelity cost worth naming: JPEG chroma is
@@ -167,6 +311,7 @@ bool decode_one(const uint8_t* data, long len, int size, uint8_t* out) {
 // `size` must be even.
 bool decode_one_yuv420(const uint8_t* data, long len, int size,
                        uint8_t* out_y, uint8_t* out_uv) {
+  if (decode_one_yuv420_raw(data, len, size, out_y, out_uv)) return true;
   std::vector<uint8_t> ycc(static_cast<size_t>(size) * size * 3);
   if (!decode_interleaved(data, len, size, JCS_YCbCr, ycc.data()))
     return false;
