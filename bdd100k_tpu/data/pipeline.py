@@ -309,7 +309,8 @@ def make_loader(
 
 
 def prefetch_to_device(
-    iterator: Iterator, size: int = 2, sharding=None
+    iterator: Iterator, size: int = 2, sharding=None,
+    local_shards_mesh=None,
 ) -> Iterator:
     """Double-buffered host→HBM transfer running ahead of consumption.
 
@@ -317,8 +318,13 @@ def prefetch_to_device(
     iterator into a host-side queue, the other drains it through device_put
     into a device-side queue. Host decode, host→HBM transfer, and device
     compute then run concurrently — none serializes behind another. With a
-    `sharding`, batches land pre-sharded across the mesh's data axis
-    (per-host transfer only moves local shards).
+    `sharding`, batches land pre-sharded across the mesh's data axis.
+
+    `local_shards_mesh` (multi-host DP, SURVEY.md §2.8): the iterator
+    yields THIS process's local shard (global_batch / process_count rows)
+    and batches are assembled into global arrays across all processes via
+    `multihost_utils.host_local_array_to_global_array` — each host decodes
+    and transfers only its own rows.
     """
     hq: queue.Queue = queue.Queue(maxsize=size)
     dq: queue.Queue = queue.Queue(maxsize=size)
@@ -335,6 +341,13 @@ def prefetch_to_device(
             self.exc = exc
 
     def put(batch):
+        if local_shards_mesh is not None:
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            return multihost_utils.host_local_array_to_global_array(
+                batch, local_shards_mesh, P("data")
+            )
         if sharding is not None:
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)

@@ -147,7 +147,19 @@ def main(argv=None):
     enable_compilation_cache()
     args = parse_args(argv)
     if args.multihost:
-        jax.distributed.initialize()
+        import os
+
+        # TPU pods auto-detect; CPU/GPU clusters pass the standard
+        # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+        # env vars (tested for real in tests/test_multihost.py).
+        kw = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     det_cfg = get_config(args.config)
@@ -181,20 +193,33 @@ def main(argv=None):
 
     dataset = make_dataset(args)
     print(f"dataset: {len(dataset)} images")
+    # Multi-host DP: each host decodes ONLY its global_batch/process_count
+    # rows; the prefetcher assembles global arrays across processes
+    # (host_local_array_to_global_array). batch_size stays the GLOBAL batch.
+    nproc = jax.process_count()
+    if train_cfg.batch_size % nproc:
+        raise SystemExit(
+            f"--batch_size {train_cfg.batch_size} must be divisible by the "
+            f"process count {nproc}"
+        )
     loader = make_loader(
         dataset,
-        train_cfg.batch_size,
+        train_cfg.batch_size // nproc,
         shuffle=True,
         seed=train_cfg.seed,
         num_workers=args.num_workers,
         process_index=jax.process_index(),
-        process_count=jax.process_count(),
+        process_count=nproc,
         # one batch per step ⇒ the input-iterator state is a pure function
         # of the resumed step: continue the exact shuffle position
         # (SURVEY.md §5.4 "grain iterator state") instead of re-seeding.
         skip_steps=start_step,
     )
-    batches = prefetch_to_device(loader, size=2, sharding=batch_sharding(mesh))
+    batches = prefetch_to_device(
+        loader, size=2,
+        sharding=batch_sharding(mesh) if nproc == 1 else None,
+        local_shards_mesh=mesh if nproc > 1 else None,
+    )
 
     aug_cfg = AugmentConfig(out_size=det_cfg.image_size)
     if args.step_impl == "shard_map":
@@ -215,7 +240,11 @@ def main(argv=None):
         from bdd100k_tpu.parallel.train_step import make_eval_step
 
         eval_fn = make_eval_step(bundle)
-    logger = MetricsLogger(args.ckpt_dir, "train")
+    logger = MetricsLogger(
+        args.ckpt_dir, "train",
+        # one-writer convention: only host 0 writes JSONL/TB
+        write_files=jax.process_index() == 0,
+    )
     prof = None
     if args.profile_steps:
         prof = tuple(int(x) for x in args.profile_steps.split(","))

@@ -16,12 +16,20 @@ import numpy as np
 
 
 class MetricsLogger:
-    def __init__(self, run_dir: str | Path, name: str = "train", stdout: bool = True):
+    def __init__(self, run_dir: str | Path, name: str = "train",
+                 stdout: bool = True, write_files: bool = True):
+        """`write_files=False` for non-zero hosts in multi-host runs: they
+        keep stdout logging but don't race process 0 on the JSONL/TB files
+        (the standard one-writer convention)."""
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        self._file = open(self.run_dir / f"{name}.jsonl", "a", buffering=1)
+        self._file = (
+            open(self.run_dir / f"{name}.jsonl", "a", buffering=1)
+            if write_files
+            else None
+        )
         self.stdout = stdout
-        self._tb = self._try_tensorboard()
+        self._tb = self._try_tensorboard() if write_files else None
         self._t0 = time.monotonic()
 
     def _try_tensorboard(self):
@@ -37,7 +45,8 @@ class MetricsLogger:
             k: float(v) for k, v in metrics.items() if _is_scalar(v)
         }
         rec = {"step": int(step), "t": time.monotonic() - self._t0, **scalars}
-        self._file.write(json.dumps(rec) + "\n")
+        if self._file is not None:
+            self._file.write(json.dumps(rec) + "\n")
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.scalar(k, v, step)
@@ -53,7 +62,8 @@ class MetricsLogger:
             self._tb.image(name, image, step)
 
     def close(self) -> None:
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
         if self._tb is not None:
             self._tb.close()
 
