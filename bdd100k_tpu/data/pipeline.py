@@ -180,6 +180,24 @@ class DetectionDataset:
         return self._gt_arrays
 
 
+def resolve_wire(choice: str = "auto", dataset=None) -> str:
+    """Resolve a --wire flag to a concrete format.
+
+    "auto" → "yuv420" when the native decode pool is built AND the
+    dataset's decode_size satisfies the 4:2:0 evenness precondition
+    (always true when no dataset is given — the caller promises even
+    frames); otherwise "rgb". Single point of truth for the policy shared
+    by bench.py, the benchmark matrix, and the eval/infer drivers."""
+    if choice != "auto":
+        return choice
+    size = getattr(dataset, "decode_size", None) if dataset is not None else 0
+    if dataset is not None and (size is None or size % 2):
+        return "rgb"
+    from bdd100k_tpu.data import native_decode as nd
+
+    return "yuv420" if nd.available() else "rgb"
+
+
 def make_loader(
     dataset: DetectionDataset,
     batch_size: int,

@@ -52,28 +52,22 @@ def parse_args(argv=None):
     p.add_argument("--preselect", choices=("exact", "approx"), default="exact",
                    help="per-class candidate preselect: exact top-k or the "
                         "faster TPU approx_max_k (~0.95 candidate recall)")
-    p.add_argument("--wire", choices=("auto", "rgb", "yuv420"), default="auto",
-                   help="host->device wire format; yuv420 halves transfer "
-                        "bytes (planar Y + subsampled CbCr, reconstructed "
-                        "on device). auto = yuv420 when the native decode "
-                        "pool is built")
+    p.add_argument("--wire", choices=("rgb", "yuv420"), default="rgb",
+                   help="host->device wire format. Eval defaults to rgb so "
+                        "reported mAP never depends on which host ran it "
+                        "(yuv420's chroma path differs at the last bit); "
+                        "pass yuv420 for throughput-oriented runs — mAP "
+                        "shift is within noise, but say so explicitly")
     return p.parse_args(argv)
-
-
-def _resolve_wire(choice: str) -> str:
-    if choice != "auto":
-        return choice
-    from bdd100k_tpu.data import native_decode as nd
-
-    return "yuv420" if nd.available() else "rgb"
 
 
 def run_eval(bundle, state, dataset, args, mesh) -> dict:
     eval_step = make_eval_step(bundle, mesh=mesh)
+    wire = getattr(args, "wire", "rgb")
+    print(f"wire format: {wire}")
     loader = make_loader(
         dataset, args.batch_size, shuffle=False, num_epochs=1,
-        drop_last=False, num_workers=args.num_workers,
-        wire_format=_resolve_wire(getattr(args, "wire", "rgb")),
+        drop_last=False, num_workers=args.num_workers, wire_format=wire,
     )
     batches = prefetch_to_device(loader, size=2, sharding=batch_sharding(mesh))
     evaluator = DetectionEvaluator(

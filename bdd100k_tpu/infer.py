@@ -142,6 +142,9 @@ class Predictor:
             if self.wire == "yuv420":
                 from bdd100k_tpu.data.pipeline import rgb_to_yuv420_host
 
+                h, w = frames_u8.shape[1:3]
+                if h % 2 or w % 2:  # 4:2:0 needs even dims — drop edge px
+                    frames_u8 = frames_u8[:, : h - h % 2, : w - w % 2]
                 frames_u8 = rgb_to_yuv420_host(frames_u8)
         det = self._fwd(
             self.state.params, self.state.batch_stats,

@@ -115,12 +115,22 @@ def make_dataset(args) -> DetectionDataset:
 
 def _seed_backbone(state, det_cfg, path: str):
     """Transplant pretrained backbone weights into a fresh TrainState,
-    preserving each leaf's device sharding (SURVEY.md §2.3)."""
+    preserving each leaf's device sharding (SURVEY.md §2.3).
+
+    Only the backbone subtree crosses the host↔device link (the heads keep
+    their resident init), and each direction is ONE device_get/device_put
+    call over the whole subtree — per-leaf eager transfers cost ~10-30 ms
+    of dispatch latency each on a tunneled link (see
+    create_train_state, which fuses init for the same reason)."""
     from bdd100k_tpu.utils import pretrained
 
     variables = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
+        "params": {"backbone": jax.device_get(state.params["backbone"])},
+        "batch_stats": (
+            {"backbone": jax.device_get(state.batch_stats["backbone"])}
+            if state.batch_stats
+            else {}
+        ),
     }
     if path.endswith(".npz"):
         merged = pretrained.load_params_npz(variables, path)
@@ -130,15 +140,21 @@ def _seed_backbone(state, det_cfg, path: str):
         merged = pretrained.import_torch_mobilenet_v1(variables, path)
     print(f"seeded {det_cfg.backbone} backbone from {path}")
 
-    def put_like(old, new):
-        return jax.device_put(np.asarray(new), old.sharding)
+    def put_back(col, old_col):
+        subtree = jax.tree.map(np.asarray, merged[col]["backbone"])
+        shardings = jax.tree.map(lambda l: l.sharding, old_col["backbone"])
+        new_bb = jax.device_put(subtree, shardings)
+        out = dict(old_col)
+        out["backbone"] = new_bb
+        return out
 
-    return state.replace(
-        params=jax.tree.map(put_like, state.params, merged["params"]),
-        batch_stats=jax.tree.map(
-            put_like, state.batch_stats, merged["batch_stats"]
-        ),
+    new_params = put_back("params", state.params)
+    new_stats = (
+        put_back("batch_stats", state.batch_stats)
+        if state.batch_stats
+        else state.batch_stats
     )
+    return state.replace(params=new_params, batch_stats=new_stats)
 
 
 def main(argv=None):
@@ -237,9 +253,15 @@ def main(argv=None):
         step_fn = make_train_step(bundle, aug_cfg, mesh=mesh)
     eval_fn = None
     if args.image_summary_every:
-        from bdd100k_tpu.parallel.train_step import make_eval_step
+        if nproc > 1:
+            # batch rows are sharded across processes: slicing [:2] out of
+            # the global array isn't addressable from non-zero hosts, so
+            # the drawn-summary branch would crash the distributed run.
+            print("image summaries disabled under multi-host")
+        else:
+            from bdd100k_tpu.parallel.train_step import make_eval_step
 
-        eval_fn = make_eval_step(bundle)
+            eval_fn = make_eval_step(bundle)
     logger = MetricsLogger(
         args.ckpt_dir, "train",
         # one-writer convention: only host 0 writes JSONL/TB

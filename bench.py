@@ -14,7 +14,7 @@ A stage breakdown (host decode steady state; tunnel pipeline = host→device
 wire + device compute overlapped) is logged to stderr and included in the
 JSON so pipeline regressions are attributable to a stage.
 
-Run: python bench.py [--batch_size 32] [--images 256] [--rounds 2]
+Run: python bench.py [--batch_size 32] [--images 384] [--rounds 3]
 """
 
 from __future__ import annotations
@@ -98,12 +98,9 @@ def main():
     )
     dataset.records = dataset.records[: args.images]
 
-    if args.wire == "auto":
-        from bdd100k_tpu.data import native_decode as nd
+    from bdd100k_tpu.data.pipeline import resolve_wire
 
-        wire = "yuv420" if nd.available() else "rgb"
-    else:
-        wire = args.wire
+    wire = resolve_wire(args.wire, dataset)
     log(f"wire format: {wire}")
 
     bundle = build_detector(cfg)

@@ -44,9 +44,9 @@ def main():
     log(f"device: {device_info()}")
     dataset = synthetic_dataset("/tmp/bdd_bench_val", args.images, split="val")
     dataset.decode_size = 512  # host decode straight to model size
-    from bdd100k_tpu.data import native_decode as nd
+    from bdd100k_tpu.data.pipeline import resolve_wire
 
-    wire = "yuv420" if nd.available() else "rgb"
+    wire = resolve_wire(dataset=dataset)
     log(f"wire format: {wire}")
     bundle = build_detector(get_config("ssd_vgg16_512"))
     variables = bundle.init(jax.random.PRNGKey(0))

@@ -61,14 +61,9 @@ def main():
     )
     dataset = synthetic_dataset("/tmp/bdd_bench", args.images)
     dataset.decode_size = args.decode_size or None
-    from bdd100k_tpu.data import native_decode as nd
+    from bdd100k_tpu.data.pipeline import resolve_wire
 
-    wire = (
-        "yuv420"
-        if dataset.decode_size and dataset.decode_size % 2 == 0
-        and nd.available()
-        else "rgb"
-    )
+    wire = resolve_wire(dataset=dataset)
     log(f"wire format: {wire}")
     rng = jax.random.PRNGKey(1)
 

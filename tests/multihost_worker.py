@@ -17,15 +17,12 @@ import sys
 
 def main() -> None:
     proc, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = [
-        f
-        for f in os.environ.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f
-    ]
-    flags.append("--xla_force_host_platform_device_count=4")
-    os.environ["XLA_FLAGS"] = " ".join(flags)
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # keep sitecustomize inert
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from __graft_entry__ import cpu_mesh_env
+
+    cpu_mesh_env(os.environ, 4)
 
     import jax
 
@@ -40,7 +37,6 @@ def main() -> None:
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from __graft_entry__ import _tiny_config
     from bdd100k_tpu.configs import TrainConfig
     from bdd100k_tpu.data.augment import AugmentConfig

@@ -63,19 +63,12 @@ def test_train_main_multihost_end_to_end(tmp_path):
 
     data = tmp_path / "synth"
     ensure_synthetic_dataset(data, num_images=8, seed=0)  # pre-generate once
+    from __graft_entry__ import cpu_mesh_env
+
     port = 21000 + os.getpid() % 10000
     procs = []
     for i in range(2):
-        env = dict(os.environ)
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = [
-            f
-            for f in env.get("XLA_FLAGS", "").split()
-            if "xla_force_host_platform_device_count" not in f
-        ]
-        flags.append("--xla_force_host_platform_device_count=4")
-        env["XLA_FLAGS"] = " ".join(flags)
+        env = cpu_mesh_env(dict(os.environ), 4)
         env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
         env["JAX_NUM_PROCESSES"] = "2"
         env["JAX_PROCESS_ID"] = str(i)
