@@ -26,6 +26,11 @@ def main() -> None:
 
     import jax
 
+    # importing __graft_entry__ imported jax BEFORE the env edit above, so
+    # the platform config may have frozen on the env's original value —
+    # override it explicitly (legal while no backend is initialized).
+    jax.config.update("jax_platforms", "cpu")
+
     jax.distributed.initialize(
         f"127.0.0.1:{port}", num_processes=nproc, process_id=proc
     )
@@ -48,6 +53,11 @@ def main() -> None:
     )
     from bdd100k_tpu.utils.compilation_cache import enable_compilation_cache
 
+    # The parent test points JAX_COMPILATION_CACHE_DIR at a fresh per-run
+    # dir: with the shared repo cache, one worker can hit a cached (or
+    # feature-mismatched) executable while the other recompiles for
+    # minutes, blowing gloo's 30 s collective-rendezvous timeout. A cold
+    # cache keeps both workers' compiles in lockstep.
     enable_compilation_cache()
     n = jax.device_count()
     mesh = make_mesh(num_data=n)  # spans BOTH processes
@@ -79,6 +89,9 @@ def main() -> None:
         )
         for a in (images, boxes, labels, mask)
     )
+    # align both workers entering the (compiling) first step — the gloo
+    # context init inside it times out if one worker arrives >30 s late
+    multihost_utils.sync_global_devices("prestep")
     state, metrics = step_fn(state, jax.random.PRNGKey(1), *batch)
     jax.block_until_ready(metrics)
     loss = float(np.asarray(metrics["loss"].addressable_shards[0].data))

@@ -29,6 +29,13 @@ def test_two_process_dp_step_matches_single_process():
     port = 20000 + os.getpid() % 10000
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # fresh per-run compile cache: both workers miss together and compile
+    # in lockstep (a shared warm cache can desynchronize them past gloo's
+    # 30 s collective-rendezvous timeout)
+    import tempfile
+
+    cache = tempfile.mkdtemp(prefix="mh_cache_")
+    env["JAX_COMPILATION_CACHE_DIR"] = cache
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
@@ -69,6 +76,7 @@ def test_train_main_multihost_end_to_end(tmp_path):
     procs = []
     for i in range(2):
         env = cpu_mesh_env(dict(os.environ), 4)
+        env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "mh_cache")
         env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
         env["JAX_NUM_PROCESSES"] = "2"
         env["JAX_PROCESS_ID"] = str(i)
