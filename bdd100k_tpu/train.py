@@ -83,6 +83,12 @@ def parse_args(argv=None):
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host DP "
                         "over DCN (SURVEY.md §5.8)")
+    p.add_argument("--wire", choices=("auto", "rgb", "yuv420"),
+                   default="auto",
+                   help="host->device wire format for decoded frames; "
+                        "yuv420 halves transfer bytes (device reconstructs "
+                        "RGB before the fused augment). auto = yuv420 when "
+                        "--decode_size is even and the native pool is built")
     p.add_argument("--image_summary_every", type=int, default=0,
                    help="every N steps, log drawn-detection image summaries "
                         "to TensorBoard (0 = off)")
@@ -218,6 +224,10 @@ def main(argv=None):
             f"--batch_size {train_cfg.batch_size} must be divisible by the "
             f"process count {nproc}"
         )
+    from bdd100k_tpu.data.pipeline import resolve_wire
+
+    wire = resolve_wire(args.wire, dataset)
+    print(f"wire format: {wire}")
     loader = make_loader(
         dataset,
         train_cfg.batch_size // nproc,
@@ -230,6 +240,7 @@ def main(argv=None):
         # of the resumed step: continue the exact shuffle position
         # (SURVEY.md §5.4 "grain iterator state") instead of re-seeding.
         skip_steps=start_step,
+        wire_format=wire,
     )
     batches = prefetch_to_device(
         loader, size=2,
@@ -258,6 +269,10 @@ def main(argv=None):
             # the global array isn't addressable from non-zero hosts, so
             # the drawn-summary branch would crash the distributed run.
             print("image summaries disabled under multi-host")
+        elif wire != "rgb":
+            # the summary branch draws boxes onto batch.images directly;
+            # planar batches would need a host-side YUV reconstruction
+            print("image summaries disabled with --wire yuv420")
         else:
             from bdd100k_tpu.parallel.train_step import make_eval_step
 
