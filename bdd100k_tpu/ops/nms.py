@@ -185,11 +185,20 @@ def batched_class_nms_pallas(
     if preselect == "approx":
         top_scores, idx = jax.lax.approx_max_k(scores_bcn, k=k)
     else:
-        top_scores, idx = jax.lax.top_k(scores_bcn, k=k)  # (B, C, k)
-    cand_boxes = jnp.take_along_axis(
-        jnp.broadcast_to(boxes[:, None], (b, num_classes, n, 4)),
-        idx[..., None],
-        axis=2,
+        # exact top-k via the TPU PartialReduce path: recall_target=1.0
+        # sizes the reduction for guaranteed-exact results, avoiding the
+        # full lax.top_k sort (ties among equal scores may order
+        # differently; detection outputs are unaffected)
+        top_scores, idx = jax.lax.approx_max_k(
+            scores_bcn, k=k, recall_target=1.0
+        )  # (B, C, k)
+    # one flat row-gather instead of take_along_axis over a (B, C, N, 4)
+    # broadcast — same rows, far less index arithmetic for XLA:TPU
+    gidx = (
+        jnp.arange(b, dtype=jnp.int32)[:, None, None] * n + idx
+    ).reshape(-1)
+    cand_boxes = jnp.take(boxes.reshape(b * n, 4), gidx, axis=0).reshape(
+        b, num_classes, k, 4
     )  # (B, C, k, 4)
     valid = top_scores > 0.0
 

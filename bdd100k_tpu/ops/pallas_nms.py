@@ -46,9 +46,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_chunk(c: int, kp: int) -> int:
-    """Largest image chunk whose (kp, chunk*c, kp) f32 scratch fits VMEM."""
-    chunk = max(1, _VMEM_BUDGET_BYTES // (kp * kp * 4 * max(c, 1)))
-    return min(chunk, 8)
+    """Largest image chunk whose (kp, chunk*c, kp) bf16 scratch fits VMEM.
+
+    Bigger chunks directly cut the kernel's sequential cost: grid programs
+    serialize on the TensorCore and each runs the same K greedy steps, so
+    B/chunk programs x K steps shrinks linearly in chunk. The suppression
+    mask is stored binarized (exact 0/1) so bf16 loses nothing."""
+    chunk = max(1, _VMEM_BUDGET_BYTES // (kp * kp * 2 * max(c, 1)))
+    return min(chunk, 32)
 
 
 def _suppress_kernel(
@@ -97,7 +102,11 @@ def _suppress_kernel(
         inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
         union = bi(4) + bj(a) - inter
         iou = inter / jnp.maximum(union, 1e-8)
-        iou_ref[pl.ds(s0, ti)] = jnp.where(iou > iou_threshold, 1.0, 0.0)
+        # threshold at f32 precision, store the exact 0/1 mask as bf16
+        # (halves the scratch → doubles the image chunk per program)
+        iou_ref[pl.ds(s0, ti)] = jnp.where(
+            iou > iou_threshold, 1.0, 0.0
+        ).astype(jnp.bfloat16)
         return carry
 
     jax.lax.fori_loop(0, k // ti, fill, 0)
@@ -106,7 +115,7 @@ def _suppress_kernel(
 
     def body(i, keep):
         # suppression plane of candidate i for every (image, class): (CC, K)
-        row = iou_ref[i]
+        row = iou_ref[i].astype(jnp.float32)
         earlier = (lane_ids < i).astype(jnp.float32)           # (1, K)
         # killed[cc] = ∃ surviving earlier j with overlap: (CC, 1)
         killed = jnp.max(row * earlier * keep, axis=-1, keepdims=True)
@@ -140,7 +149,9 @@ def pallas_greedy_suppress(
     kp = _round_up(k, _LANE)
     chunk = _pick_chunk(c, kp)
     # chunk*c must land on a sublane multiple for clean (CC, K) tiles
-    while chunk > 1 and (chunk * c) % _SUBLANE:
+    # chunk*c must land on the bf16 sublane multiple (16) for the mask
+    # scratch's (CC, K) tiles (also satisfies the f32 8-multiple)
+    while chunk > 1 and (chunk * c) % 16:
         chunk -= 1
     bp = _round_up(b, chunk)
     pad = ((0, bp - b), (0, 0), (0, kp - k))
@@ -160,7 +171,7 @@ def pallas_greedy_suppress(
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((bp, c, kp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((kp, chunk * c, kp), jnp.float32),
+            pltpu.VMEM((kp, chunk * c, kp), jnp.bfloat16),
             pltpu.VMEM((5, kp, chunk * c), jnp.float32),
         ],
         interpret=interpret,
