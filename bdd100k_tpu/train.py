@@ -50,6 +50,11 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--total_steps", type=int, default=120_000)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_boundaries", default=None,
+                   help="comma-separated fractions of total_steps at which "
+                        "the LR decays (default: config's 0.66,0.86)")
+    p.add_argument("--lr_decays", default=None,
+                   help="comma-separated decay factors, one per boundary")
     p.add_argument("--optimizer", default="momentum")
     p.add_argument("--warmup_steps", type=int, default=500)
     p.add_argument("--max_boxes", type=int, default=100)
@@ -185,6 +190,13 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     det_cfg = get_config(args.config)
+    lr_kw = {}
+    if args.lr_boundaries is not None:
+        lr_kw["lr_boundaries"] = tuple(
+            float(x) for x in args.lr_boundaries.split(",")
+        )
+    if args.lr_decays is not None:
+        lr_kw["lr_decays"] = tuple(float(x) for x in args.lr_decays.split(","))
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
         max_boxes=args.max_boxes,
@@ -195,6 +207,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every,
         seed=args.seed,
+        **lr_kw,
     )
 
     mesh = make_mesh(num_data=args.mesh_data)
