@@ -252,6 +252,13 @@ def make_loader(
             raise RuntimeError("native_decode requested but pool unavailable")
 
     local = np.arange(len(dataset))[process_index::process_count]
+    if process_count > 1:
+        # Equal per-host cardinality: when len(dataset) % process_count != 0
+        # the strided shards differ by one row, so one host could yield one
+        # more batch per epoch than another — the global-array assembly
+        # (host_local_array_to_global_array) would then hang waiting on the
+        # missing participant. Drop the len % nproc spare rows everywhere.
+        local = local[: len(dataset) // process_count]
     rng = np.random.RandomState(seed)
     epoch = 0
     skip_batches = 0

@@ -187,11 +187,17 @@ def batched_class_nms_pallas(
     else:
         # exact top-k via the TPU PartialReduce path: recall_target=1.0
         # sizes the reduction for guaranteed-exact results, avoiding the
-        # full lax.top_k sort (ties among equal scores may order
-        # differently; detection outputs are unaffected)
+        # full lax.top_k sort over all N anchors
         top_scores, idx = jax.lax.approx_max_k(
             scores_bcn, k=k, recall_target=1.0
         )  # (B, C, k)
+        # PartialReduce is value-exact but may order TIED scores differently
+        # from the lax.top_k oracle, and greedy NMS keep decisions depend on
+        # candidate order. Re-sort the k candidates by (score desc, anchor
+        # index asc) — top_k's documented tie order — so 'exact' stays
+        # bit-identical to the oracle. k-sized sort, not N-sized: cheap.
+        neg, idx = jax.lax.sort((-top_scores, idx), num_keys=2, dimension=-1)
+        top_scores = -neg
     # one flat row-gather instead of take_along_axis over a (B, C, N, 4)
     # broadcast — same rows, far less index arithmetic for XLA:TPU
     gidx = (

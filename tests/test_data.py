@@ -320,3 +320,19 @@ def test_preprocess_eval_batch():
     out = preprocess_eval_batch(img, 32)
     assert out.shape == (2, 32, 32, 3)
     np.testing.assert_allclose(np.asarray(out), -1.0, atol=1e-6)
+
+
+def test_loader_per_host_sharding_uneven(synthetic_root):
+    """len(dataset) % process_count != 0: every host must still yield the
+    SAME batch count per epoch (a mismatched host would hang the global
+    batch assembly — ADVICE r2). The spare rows are dropped."""
+    ds = DetectionDataset.from_bdd100k(
+        synthetic_root / "labels" / "train.json",
+        synthetic_root / "images" / "train",
+    )
+    ds.records = ds.records[:5]  # odd count across 2 hosts
+    b0 = list(make_loader(ds, 1, shuffle=False, num_epochs=1,
+                          process_index=0, process_count=2, num_workers=1))
+    b1 = list(make_loader(ds, 1, shuffle=False, num_epochs=1,
+                          process_index=1, process_count=2, num_workers=1))
+    assert len(b0) == len(b1) == 2

@@ -20,10 +20,6 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
-# Verified single-process 8-device value for the fixed batch/seed (also
-# printed by `python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"`).
-EXPECTED_LOSS = 20.5026
-
 
 def test_two_process_dp_step_matches_single_process():
     port = 20000 + os.getpid() % 10000
@@ -36,6 +32,27 @@ def test_two_process_dp_step_matches_single_process():
 
     cache = tempfile.mkdtemp(prefix="mh_cache_")
     env["JAX_COMPILATION_CACHE_DIR"] = cache
+    # the single-process 8-device reference value, computed HERE rather
+    # than frozen as a constant (XLA:CPU numerics vary by host/jax
+    # version; ADVICE r2): same dryrun program, own subprocess, run
+    # BEFORE the workers — this box has ONE core, and a third
+    # compile-heavy process contending with the two lockstepped workers
+    # pushes them past their timeout
+    from __graft_entry__ import cpu_mesh_env
+
+    ref_env = cpu_mesh_env(dict(os.environ), 8)
+    ref_env["JAX_COMPILATION_CACHE_DIR"] = cache
+    ref_env["_GRAFT_DRYRUN_CHILD"] = "1"  # no re-exec inside
+    ref = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=ref_env, cwd=REPO, capture_output=True, text=True, timeout=560,
+    )
+    assert ref.returncode == 0, f"reference dryrun failed:\n{ref.stderr[-3000:]}"
+    m = [l for l in ref.stdout.splitlines() if "loss=" in l]
+    assert m, ref.stdout
+    expected_loss = float(m[-1].split("loss=")[-1])
+
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
@@ -57,8 +74,9 @@ def test_two_process_dp_step_matches_single_process():
         losses.append(float(lines[-1].split()[1]))
     # cross-process agreement (replicated metrics) …
     assert losses[0] == losses[1], losses
-    # … and agreement with the single-process 8-device mesh
-    np.testing.assert_allclose(losses[0], EXPECTED_LOSS, rtol=1e-3)
+    # … and agreement with the single-process 8-device mesh (rtol covers
+    # cross-shard reduction reassociation, ~1e-3 — see CLAUDE.md)
+    np.testing.assert_allclose(losses[0], expected_loss, rtol=1e-3)
 
 
 def test_train_main_multihost_end_to_end(tmp_path):

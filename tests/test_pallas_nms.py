@@ -76,3 +76,38 @@ def test_full_pallas_nms_matches_xla(seed):
     np.testing.assert_allclose(
         np.asarray(ref.boxes)[v], np.asarray(out.boxes)[v], rtol=0, atol=0
     )
+
+
+def test_exact_preselect_tie_order_matches_oracle():
+    """preselect='exact' uses approx_max_k(recall_target=1.0), which is
+    value-exact but may order TIED scores differently from lax.top_k; the
+    re-sort by (score desc, index asc) must keep greedy NMS keep decisions
+    bit-identical to the oracle even with many exact ties (ADVICE r2)."""
+    rng = np.random.RandomState(11)
+    b, n, c = 2, 256, 4
+    boxes = np.stack([_random_boxes(rng, n) for _ in range(b)])
+    # heavy deliberate ties: scores quantized to 8 levels
+    scores = (np.ceil(rng.rand(b, n, c) * 8) / 8).astype(np.float32)
+
+    kw = dict(
+        iou_threshold=0.45,
+        score_threshold=0.05,
+        per_class_topk=64,
+        max_detections=50,
+    )
+    ref = batched_class_nms(jnp.asarray(boxes), jnp.asarray(scores), **kw)
+    out = batched_class_nms_pallas(
+        jnp.asarray(boxes), jnp.asarray(scores), interpret=True,
+        preselect="exact", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
+    v = np.asarray(ref.valid)
+    np.testing.assert_array_equal(
+        np.asarray(ref.classes)[v], np.asarray(out.classes)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.scores), np.asarray(out.scores), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.boxes)[v], np.asarray(out.boxes)[v], rtol=0, atol=0
+    )
