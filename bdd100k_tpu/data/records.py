@@ -285,6 +285,61 @@ class TFRecordDetectionDataset:
         }
 
 
+class GrainBatchLoader:
+    """Iterator of pipeline.Batch over a grain DataLoader, exposing grain's
+    NATIVE iterator checkpointing (SURVEY.md §5.4 "grain iterator state").
+
+    `state_after(n)` returns the serialized iterator state as it stood
+    after exactly `n` batches had been consumed — exact even when a
+    prefetcher has already pulled several batches ahead of the train step
+    (states are recorded per __next__ and looked up by count, so the saved
+    checkpoint resumes at the step's true position, not the prefetch
+    frontier). `set_state` restores a previously saved state; the next
+    batch continues the exact shuffle position, mid-epoch.
+    """
+
+    # prefetch queues hold ~4 batches; keep a margin of recorded states
+    _KEEP_STATES = 64
+
+    def __init__(self, loader):
+        from collections import OrderedDict
+
+        self._it = loader.__iter__()
+        self._count = 0
+        self._states: "OrderedDict[int, bytes]" = OrderedDict()
+        self._states[0] = self._it.get_state()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Batch:
+        b = next(self._it)
+        self._count += 1
+        self._states[self._count] = self._it.get_state()
+        while len(self._states) > self._KEEP_STATES:
+            self._states.popitem(last=False)
+        return Batch(
+            images=np.asarray(b["image"]),
+            boxes=np.asarray(b["boxes"]),
+            labels=np.asarray(b["labels"]),
+            mask=np.asarray(b["mask"]),
+        )
+
+    def state_after(self, n_batches: int) -> bytes:
+        """Iterator state after exactly `n_batches` consumed batches."""
+        return self._states[n_batches]
+
+    def get_state(self) -> bytes:
+        return self._it.get_state()
+
+    def set_state(self, state: bytes) -> None:
+        from collections import OrderedDict
+
+        self._it.set_state(state)
+        self._count = 0
+        self._states = OrderedDict({0: state})
+
+
 def make_grain_loader(
     dataset: ArrayRecordDetectionDataset,
     batch_size: int,
@@ -295,10 +350,11 @@ def make_grain_loader(
     drop_last: bool = True,
     process_index: int = 0,
     process_count: int = 1,
-) -> Iterator[Batch]:
+) -> GrainBatchLoader:
     """grain DataLoader over the dataset: multi-worker decode, per-host
     sharding, deterministic shuffling — the SURVEY.md §2.1 'grain
-    IndexSampler+DataLoader' input stage. Yields pipeline.Batch."""
+    IndexSampler+DataLoader' input stage. Returns a GrainBatchLoader
+    (iterator of pipeline.Batch with get_state/set_state checkpointing)."""
     import grain.python as grain
 
     class _Decode(grain.MapTransform):
@@ -328,10 +384,4 @@ def make_grain_loader(
         ],
         worker_count=num_workers,
     )
-    for b in loader:
-        yield Batch(
-            images=np.asarray(b["image"]),
-            boxes=np.asarray(b["boxes"]),
-            labels=np.asarray(b["labels"]),
-            mask=np.asarray(b["mask"]),
-        )
+    return GrainBatchLoader(loader)

@@ -44,6 +44,15 @@ def parse_args(argv=None):
     p.add_argument("--config", default="ssd_mobilenet_300")
     p.add_argument("--labels", default=None, help="BDD100K labels JSON")
     p.add_argument("--image_dir", default=None)
+    p.add_argument("--records_dir", default=None,
+                   help="train from ArrayRecord shards (data/records.py "
+                        "converter) via the grain DataLoader instead of "
+                        "--labels/--image_dir; checkpoints carry grain's "
+                        "native iterator state so resume continues the "
+                        "exact shuffle position (SURVEY.md §5.4)")
+    p.add_argument("--grain_workers", type=int, default=0,
+                   help="grain worker processes for --records_dir decode "
+                        "(0 = in-process)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic images instead of real data")
     p.add_argument("--synthetic_dir", default="/tmp/bdd_synth")
@@ -135,11 +144,15 @@ def _seed_backbone(state, det_cfg, path: str):
     create_train_state, which fuses init for the same reason)."""
     from bdd100k_tpu.utils import pretrained
 
+    # batch_stats may be non-empty yet have no 'backbone' subtree: VGG16 has
+    # no BatchNorm while the SSD extra layers (ConvBN) do — guard on the key,
+    # not mere truthiness, or --pretrained_backbone vgg.pth crashes.
+    has_bb_stats = bool(state.batch_stats) and "backbone" in state.batch_stats
     variables = {
         "params": {"backbone": jax.device_get(state.params["backbone"])},
         "batch_stats": (
             {"backbone": jax.device_get(state.batch_stats["backbone"])}
-            if state.batch_stats
+            if has_bb_stats
             else {}
         ),
     }
@@ -162,7 +175,7 @@ def _seed_backbone(state, det_cfg, path: str):
     new_params = put_back("params", state.params)
     new_stats = (
         put_back("batch_stats", state.batch_stats)
-        if state.batch_stats
+        if has_bb_stats
         else state.batch_stats
     )
     return state.replace(params=new_params, batch_stats=new_stats)
@@ -226,8 +239,6 @@ def main(argv=None):
     if args.pretrained_backbone and not start_step:
         state = _seed_backbone(state, det_cfg, args.pretrained_backbone)
 
-    dataset = make_dataset(args)
-    print(f"dataset: {len(dataset)} images")
     # Multi-host DP: each host decodes ONLY its global_batch/process_count
     # rows; the prefetcher assembles global arrays across processes
     # (host_local_array_to_global_array). batch_size stays the GLOBAL batch.
@@ -237,24 +248,59 @@ def main(argv=None):
             f"--batch_size {train_cfg.batch_size} must be divisible by the "
             f"process count {nproc}"
         )
-    from bdd100k_tpu.data.pipeline import resolve_wire
+    grain_loader = None
+    if args.records_dir:
+        # ArrayRecord + grain path: resume restores grain's NATIVE iterator
+        # state from the checkpoint dir (exact shuffle position, mid-epoch)
+        from bdd100k_tpu.data.records import (
+            ArrayRecordDetectionDataset,
+            make_grain_loader,
+        )
 
-    wire = resolve_wire(args.wire, dataset)
-    print(f"wire format: {wire}")
-    loader = make_loader(
-        dataset,
-        train_cfg.batch_size // nproc,
-        shuffle=True,
-        seed=train_cfg.seed,
-        num_workers=args.num_workers,
-        process_index=jax.process_index(),
-        process_count=nproc,
-        # one batch per step ⇒ the input-iterator state is a pure function
-        # of the resumed step: continue the exact shuffle position
-        # (SURVEY.md §5.4 "grain iterator state") instead of re-seeding.
-        skip_steps=start_step,
-        wire_format=wire,
-    )
+        dataset = ArrayRecordDetectionDataset(
+            args.records_dir, max_boxes=args.max_boxes
+        )
+        print(f"dataset: {len(dataset)} images (ArrayRecord)")
+        wire = "rgb"
+        loader = grain_loader = make_grain_loader(
+            dataset,
+            train_cfg.batch_size // nproc,
+            shuffle=True,
+            seed=train_cfg.seed,
+            num_workers=args.grain_workers,
+            num_epochs=None,
+            process_index=jax.process_index(),
+            process_count=nproc,
+        )
+        if start_step:
+            it_state = ckpt.restore_input_state(start_step)
+            if it_state is not None:
+                grain_loader.set_state(it_state)
+                print(f"restored grain iterator state at step {start_step}")
+            else:
+                print("warning: no saved iterator state; input reshuffles "
+                      "from epoch 0")
+    else:
+        dataset = make_dataset(args)
+        print(f"dataset: {len(dataset)} images")
+        from bdd100k_tpu.data.pipeline import resolve_wire
+
+        wire = resolve_wire(args.wire, dataset)
+        print(f"wire format: {wire}")
+        loader = make_loader(
+            dataset,
+            train_cfg.batch_size // nproc,
+            shuffle=True,
+            seed=train_cfg.seed,
+            num_workers=args.num_workers,
+            process_index=jax.process_index(),
+            process_count=nproc,
+            # one batch per step ⇒ the input-iterator state is a pure
+            # function of the resumed step: continue the exact shuffle
+            # position (SURVEY.md §5.4) instead of re-seeding.
+            skip_steps=start_step,
+            wire_format=wire,
+        )
     batches = prefetch_to_device(
         loader, size=2,
         sharding=batch_sharding(mesh) if nproc == 1 else None,
@@ -299,6 +345,13 @@ def main(argv=None):
     if args.profile_steps:
         prof = tuple(int(x) for x in args.profile_steps.split(","))
 
+    def _input_state(step):
+        # grain path: the iterator state as of the step's consumed batch —
+        # NOT the prefetch frontier (state_after is count-indexed, exact)
+        if grain_loader is None:
+            return None
+        return grain_loader.state_after(step - start_step)
+
     step = start_step
     t_last = time.monotonic()
     imgs_since = 0
@@ -338,8 +391,8 @@ def main(argv=None):
                 )
                 logger.image(step, f"detections/{i}", drawn)
         if step % train_cfg.checkpoint_every == 0:
-            ckpt.save(step, state)
-    ckpt.save(step, state)
+            ckpt.save(step, state, input_state=_input_state(step))
+    ckpt.save(step, state, input_state=_input_state(step))
     ckpt.wait()
     logger.close()
     print(f"done at step {step}")

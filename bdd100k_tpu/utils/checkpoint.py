@@ -32,8 +32,16 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state: Any) -> None:
-        """Async-save the state pytree (non-optax-fn leaves only)."""
+    def save(
+        self, step: int, state: Any, input_state: bytes | None = None
+    ) -> None:
+        """Async-save the state pytree (non-optax-fn leaves only).
+
+        `input_state`: opaque input-iterator state (e.g. grain's native
+        iterator checkpoint, SURVEY.md §5.4) written beside the orbax step
+        dir — outside it, so orbax's atomic finalize/cleanup is untouched.
+        Only process 0 writes (one-writer convention; the state is already
+        per-run, not per-host, for the single-host grain path)."""
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -41,6 +49,20 @@ class CheckpointManager:
             "step": np.asarray(state.step),
         }
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if input_state is not None and jax.process_index() == 0:
+            (self.directory / f"input_state_{step}.bin").write_bytes(
+                input_state
+            )
+            # prune states for steps orbax has already garbage-collected
+            kept = {str(s) for s in self._mgr.all_steps()} | {str(step)}
+            for p in self.directory.glob("input_state_*.bin"):
+                if p.stem.split("_")[-1] not in kept:
+                    p.unlink(missing_ok=True)
+
+    def restore_input_state(self, step: int) -> bytes | None:
+        """Input-iterator state saved at `step`, or None."""
+        p = self.directory / f"input_state_{step}.bin"
+        return p.read_bytes() if p.exists() else None
 
     def restore_latest(
         self, state: Any, params_only: bool = False

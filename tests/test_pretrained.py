@@ -199,3 +199,47 @@ def test_torch_vgg16_mapping_shapes():
         np.transpose(sd["features.12.weight"], (2, 3, 1, 0)),
     )
     assert merged["block5"]["conv3"]["bias"].shape == (512,)
+
+
+def test_seed_backbone_vgg16_without_backbone_batch_stats(tmp_path):
+    """ADVICE r2 (medium): VGG16 has no BatchNorm but the SSD extra layers
+    do, so state.batch_stats is non-empty WITHOUT a 'backbone' key —
+    train._seed_backbone must not KeyError on that shape."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from bdd100k_tpu.configs import TrainConfig
+    from bdd100k_tpu.configs.detector_configs import DetectorConfig
+    from bdd100k_tpu.models.detector import build_detector
+    from bdd100k_tpu.ops.anchors import make_ssd_feature_maps
+    from bdd100k_tpu.parallel.train_step import create_train_state
+    from bdd100k_tpu.train import _seed_backbone
+    from bdd100k_tpu.utils.pretrained import save_params_npz
+
+    cfg = DetectorConfig(
+        name="vgg_tiny_test", image_size=64, backbone="vgg16", head="ssd",
+        feature_maps=make_ssd_feature_maps(
+            map_sizes=(8, 4, 2), boxes_per_map=(4, 6, 4)
+        ),
+    )
+    bundle = build_detector(cfg)
+    state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
+    # the premise of the bug: non-empty batch_stats, no backbone subtree
+    assert state.batch_stats and "backbone" not in state.batch_stats
+
+    npz = tmp_path / "bb.npz"
+    donor = jax.tree.map(
+        lambda x: np.asarray(x) + 1.0,
+        jax.device_get(state.params["backbone"]),
+    )
+    save_params_npz(donor, npz)
+    seeded = _seed_backbone(state, cfg, str(npz))
+    got = jax.device_get(
+        seeded.params["backbone"]["block1"]["conv1"]["kernel"]
+    )
+    want = donor["block1"]["conv1"]["kernel"]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # non-backbone leaves keep their init
+    assert seeded.batch_stats is state.batch_stats

@@ -82,3 +82,82 @@ def test_grain_loader_batches(synth, tmp_path):
     assert b.images.shape == (2, 720, 1280, 3) and b.images.dtype == np.uint8
     assert b.boxes.shape == (2, 16, 4)
     assert b.mask.dtype == bool
+
+
+def test_grain_iterator_state_resume(synth, tmp_path):
+    """Kill/resume on the grain path (SURVEY.md §5.4 'grain iterator
+    state'): restoring a saved iterator state continues the exact shuffle
+    position mid-epoch — the ArrayRecord mirror of
+    test_loader_skip_steps_resumes_permutation."""
+    root, labels = synth
+    convert_bdd100k_to_arrayrecord(
+        labels, root / "images" / "train", tmp_path / "rec", shard_size=8
+    )
+    ds = ArrayRecordDetectionDataset(tmp_path / "rec", max_boxes=16)
+
+    def new_loader():
+        return make_grain_loader(
+            ds, batch_size=2, shuffle=True, seed=7, num_epochs=3,
+            num_workers=0,
+        )
+
+    full = new_loader()
+    wanted = [next(full) for _ in range(6)]  # spans an epoch boundary
+
+    killed = new_loader()
+    for _ in range(4):  # consumed 2 steps; prefetch pulled 2 ahead
+        next(killed)
+    state = killed.state_after(2)  # checkpoint at the CONSUMED position
+
+    resumed = new_loader()
+    resumed.set_state(state)
+    for want in wanted[2:6]:
+        got = next(resumed)
+        np.testing.assert_array_equal(got.images, want.images)
+        np.testing.assert_allclose(got.boxes, want.boxes)
+        np.testing.assert_array_equal(got.labels, want.labels)
+
+
+def test_checkpoint_manager_input_state_roundtrip(tmp_path):
+    import jax
+
+    from bdd100k_tpu.configs import TrainConfig
+    from bdd100k_tpu.configs.detector_configs import tiny_test_config
+    from bdd100k_tpu.models.detector import build_detector
+    from bdd100k_tpu.parallel.train_step import create_train_state
+    from bdd100k_tpu.utils.checkpoint import CheckpointManager
+
+    bundle = build_detector(tiny_test_config("ssd"))
+    state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    blob = b'{"grain": "state", "pos": 42}'
+    mgr.save(3, state, input_state=blob)
+    mgr.wait()
+    assert mgr.restore_input_state(3) == blob
+    assert mgr.restore_input_state(2) is None
+    mgr.close()
+
+
+def test_train_cli_records_dir_resume(synth, tmp_path, capsys):
+    """--records_dir end-to-end: train 2 steps via the grain loader, then
+    resume — the checkpoint must carry grain's iterator state and the
+    resumed run must restore it."""
+    root, labels = synth
+    convert_bdd100k_to_arrayrecord(
+        labels, root / "images" / "train", tmp_path / "rec", shard_size=8
+    )
+    from bdd100k_tpu import train as train_mod
+
+    argv = [
+        "--config", "ssd_tiny_64", "--records_dir", str(tmp_path / "rec"),
+        "--batch_size", "8", "--warmup_steps", "0",
+        "--checkpoint_every", "1", "--log_every", "1",
+        "--ckpt_dir", str(tmp_path / "ckpt"), "--max_boxes", "16",
+    ]
+    train_mod.main(argv + ["--total_steps", "2"])
+    assert (tmp_path / "ckpt" / "input_state_2.bin").exists()
+    capsys.readouterr()
+    train_mod.main(argv + ["--total_steps", "4"])
+    out = capsys.readouterr().out
+    assert "restored grain iterator state at step 2" in out
+    assert "done at step 4" in out
