@@ -57,11 +57,22 @@ def parse_args(argv=None):
                         "reported mAP never depends on which host ran it "
                         "(yuv420's chroma path differs at the last bit); "
                         "pass yuv420 for throughput-oriented runs — mAP "
-                        "shift is within noise, but say so explicitly")
+                        "shift is within noise (measured: see "
+                        "BENCH_MATRIX.md approx/wire mAP-delta lines)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host eval: jax.distributed.initialize(), "
+                        "each host evaluates its shard of the val set, "
+                        "host 0 merges (needs --sync_dir or --ckpt_dir on "
+                        "a shared filesystem)")
+    p.add_argument("--sync_dir", default=None,
+                   help="shared dir for multi-host shard merge (default: "
+                        "<ckpt_dir>/eval_sync)")
     return p.parse_args(argv)
 
 
-def run_eval(bundle, state, dataset, args, mesh) -> dict:
+def run_eval(bundle, state, dataset, args, mesh, compute: bool = True):
+    """Evaluate `dataset`; returns the result dict, or the loaded
+    DetectionEvaluator when `compute=False` (multi-host shard mode)."""
     eval_step = make_eval_step(bundle, mesh=mesh)
     wire = getattr(args, "wire", "rgb")
     print(f"wire format: {wire}")
@@ -69,7 +80,10 @@ def run_eval(bundle, state, dataset, args, mesh) -> dict:
         dataset, args.batch_size, shuffle=False, num_epochs=1,
         drop_last=False, num_workers=args.num_workers, wire_format=wire,
     )
-    batches = prefetch_to_device(loader, size=2, sharding=batch_sharding(mesh))
+    batches = prefetch_to_device(
+        loader, size=2,
+        sharding=batch_sharding(mesh) if mesh is not None else None,
+    )
     evaluator = DetectionEvaluator(
         bundle.config.num_classes, list(BDD100K_CLASSES)
     )
@@ -93,19 +107,86 @@ def run_eval(bundle, state, dataset, args, mesh) -> dict:
     # one-batch pipeline: dispatch batch k+1 before fetching/accumulating
     # batch k, so the host-side mAP bookkeeping overlaps device compute
     pending = None
-    t0 = time.monotonic()
+    t0 = None
+    timed = 0  # images processed after the clock started
     for batch in batches:
         det = eval_step(state.params, state.batch_stats, batch.images)
+        if t0 is None:
+            # first batch pays compile (+ first weight transfer): block it
+            # out, then start the steady-state clock — on small --synthetic
+            # runs the old folded-in compile dominated images_per_sec
+            jax.block_until_ready(det)
+            t0 = time.monotonic()
+        else:
+            timed += det.boxes.shape[0]
         if pending is not None:
             accumulate(*pending)
         pending = (det, (batch.boxes, batch.labels, batch.mask))
     if pending is not None:
         accumulate(*pending)
-    dt = time.monotonic() - t0
+    dt = (time.monotonic() - t0) if t0 is not None else 0.0
+    if not compute:
+        return evaluator, seen
     result = evaluator.compute(iou_threshold=args.iou_threshold)
-    result["images_per_sec"] = seen / max(dt, 1e-9)
+    # steady-state rate; None when the whole run was one (compile) batch
+    result["images_per_sec"] = (
+        round(min(timed, seen) / dt, 2) if timed and dt > 0 else None
+    )
     result["num_images"] = seen
     return result
+
+
+def run_eval_multihost(bundle, state, dataset, args) -> dict:
+    """Per-host sharded eval + file-based shard merge (SURVEY.md §2.8).
+
+    Each process evaluates records[process_index::process_count] with a
+    LOCAL jit (no cross-host collectives — detection eval is embarrassingly
+    parallel), writes its accumulated evaluator state to the shared
+    `sync_dir`, and host 0 merges all shards into one mAP. All hosts return
+    the same merged result (read back after a barrier)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    proc, nproc = jax.process_index(), jax.process_count()
+    sync_dir = args.sync_dir or (
+        str(Path(args.ckpt_dir) / "eval_sync") if args.ckpt_dir else None
+    )
+    if sync_dir is None:
+        raise SystemExit(
+            "multi-host eval needs --sync_dir (or --ckpt_dir) on a shared "
+            "filesystem for the shard merge"
+        )
+    sync = Path(sync_dir)
+    if proc == 0:
+        sync.mkdir(parents=True, exist_ok=True)
+    multihost_utils.sync_global_devices("eval_sync_dir")
+
+    # shard the RECORDS, not the loader: eval must not drop the remainder
+    # rows (mAP is over the full set), so per-host shards may be unequal —
+    # fine, there are no collectives to desynchronize.
+    import copy
+
+    shard = copy.copy(dataset)
+    shard.records = dataset.records[proc::nproc]
+    evaluator, seen = run_eval(
+        bundle, state, shard, args, mesh=None, compute=False
+    )
+    np.savez(sync / f"shard_{proc}.npz", **evaluator.to_arrays())
+    multihost_utils.sync_global_devices("eval_shards_written")
+
+    if proc == 0:
+        merged = DetectionEvaluator(
+            bundle.config.num_classes, list(BDD100K_CLASSES)
+        )
+        for i in range(nproc):
+            with np.load(sync / f"shard_{i}.npz") as blob:
+                merged.merge_arrays(dict(blob))
+        result = merged.compute(iou_threshold=args.iou_threshold)
+        result["num_images"] = merged._next_img
+        result["num_hosts"] = nproc
+        (sync / "result.json").write_text(json.dumps(result))
+    multihost_utils.sync_global_devices("eval_merged")
+    return json.loads((sync / "result.json").read_text())
 
 
 def main(argv=None):
@@ -113,6 +194,17 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = parse_args(argv)
+    if args.multihost:
+        import os
+
+        kw = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
     det_cfg = get_config(args.config)
     if args.nms != "auto" or args.preselect != "exact":
         import dataclasses
@@ -124,7 +216,21 @@ def main(argv=None):
                 preselect=args.preselect,
             ),
         )
-    mesh = make_mesh(num_data=args.mesh_data)
+    multihost = jax.process_count() > 1
+    if multihost and not args.multihost:
+        # started under jax.distributed without opting in: the default
+        # loader would decode the full set on EVERY host and double-count
+        # mAP inputs — refuse instead of silently mis-measuring.
+        raise SystemExit(
+            "multiple jax processes detected; run eval with --multihost "
+            "(per-host shards + merged mAP) or on a single process"
+        )
+    # multi-host eval runs per-host local programs (no global mesh): each
+    # host's shard is independent and the merge is host-side (run_eval_multihost)
+    mesh = None if multihost else make_mesh(num_data=args.mesh_data)
+    if multihost:
+        # un-meshed jit must land on THIS process's device, not global dev 0
+        jax.config.update("jax_default_device", jax.local_devices()[0])
     bundle = build_detector(det_cfg)
     state = create_train_state(
         bundle, TrainConfig(), jax.random.PRNGKey(0), mesh=mesh
@@ -156,9 +262,13 @@ def main(argv=None):
             decode_size=decode_size,
         )
 
-    result = run_eval(bundle, state, dataset, args, mesh)
-    print(f"\nmAP@{args.iou_threshold}: {result['mAP']:.4f} "
-          f"({result['images_per_sec']:.1f} imgs/sec)")
+    if multihost:
+        result = run_eval_multihost(bundle, state, dataset, args)
+    else:
+        result = run_eval(bundle, state, dataset, args, mesh)
+    ips = result.get("images_per_sec")
+    print(f"\nmAP@{args.iou_threshold}: {result['mAP']:.4f}"
+          + (f" ({ips:.1f} imgs/sec steady-state)" if ips else ""))
     for name, ap in result["per_class"].items():
         print(f"  {name:>14}: {'—' if ap is None else f'{ap:.4f}'}")
     if args.out:

@@ -97,6 +97,57 @@ class DetectionEvaluator:
             self._gts[(img_id, int(cls))].append(box)
             self._gt_count[int(cls)] += 1
 
+    def to_arrays(self) -> dict:
+        """Serialize the accumulated state to flat numpy arrays (npz-able).
+
+        Used by multi-host eval (SURVEY.md §2.8 "Collective-aware input"):
+        each host evaluates its dataset shard, serializes, and host 0 merges
+        all shards with `merge_arrays` before the single mAP computation."""
+        det_rows = [
+            (img_id, cls, score, box)
+            for cls, lst in self._dets.items()
+            for (img_id, score, box) in lst
+        ]
+        gt_rows = [
+            (img_id, cls, box)
+            for (img_id, cls), lst in self._gts.items()
+            for box in lst
+        ]
+        return {
+            "num_images": np.int64(self._next_img),
+            "det_img": np.asarray([r[0] for r in det_rows], np.int64),
+            "det_cls": np.asarray([r[1] for r in det_rows], np.int64),
+            "det_score": np.asarray([r[2] for r in det_rows], np.float64),
+            "det_box": (
+                np.stack([r[3] for r in det_rows])
+                if det_rows else np.zeros((0, 4), np.float64)
+            ),
+            "gt_img": np.asarray([r[0] for r in gt_rows], np.int64),
+            "gt_cls": np.asarray([r[1] for r in gt_rows], np.int64),
+            "gt_box": (
+                np.stack([r[2] for r in gt_rows])
+                if gt_rows else np.zeros((0, 4), np.float64)
+            ),
+        }
+
+    def merge_arrays(self, arrs: dict) -> None:
+        """Fold a `to_arrays` blob into this evaluator; image ids from the
+        blob are offset past this evaluator's images so shards never
+        collide."""
+        off = self._next_img
+        for img_id, cls, score, box in zip(
+            arrs["det_img"], arrs["det_cls"], arrs["det_score"],
+            np.asarray(arrs["det_box"], np.float64),
+        ):
+            self._dets[int(cls)].append((int(img_id) + off, float(score), box))
+        for img_id, cls, box in zip(
+            arrs["gt_img"], arrs["gt_cls"],
+            np.asarray(arrs["gt_box"], np.float64),
+        ):
+            self._gts[(int(img_id) + off, int(cls))].append(box)
+            self._gt_count[int(cls)] += 1
+        self._next_img += int(arrs["num_images"])
+
     def compute(
         self, iou_threshold: float = 0.5, eleven_point: bool = False
     ) -> dict:
