@@ -243,23 +243,101 @@ def run_single(args):
 
 
 def run_dir(args):
+    """Directory sweep, pipelined (SURVEY.md §2.6/§3.3).
+
+    The most likely real-user batch path, so it gets the same overlap
+    structure as video mode and bench.py: the native decode pool (or the
+    cv2 DCT-downscale fallback) decodes straight to model size on loader
+    threads while the device runs the previous batch, and dispatch runs one
+    batch ahead of fetch/emit. With --out_dir, boxes are drawn on the
+    model-size decode (boxes are normalized, so any size draws correctly);
+    without it, frames ride the compact yuv420 wire and never materialize
+    as RGB on host.
+    """
+    import queue
+    import threading
+
+    from bdd100k_tpu.data.pipeline import (
+        DetectionDataset,
+        make_loader,
+        resolve_wire,
+    )
+
     paths = sorted(
         p for p in Path(args.image_dir).iterdir()
         if p.suffix.lower() in (".jpg", ".jpeg", ".png")
     )
+    if not paths:
+        raise SystemExit(f"no images in {args.image_dir}")
+    host_resize = _want_host_resize(args, default=True)
+    # the loader does the host resize; the predictor sees ready frames
     predictor = load_predictor(
-        args, batch_size=args.batch_size,
-        host_resize=_want_host_resize(args, default=True),
+        args, batch_size=args.batch_size, host_resize=False
     )
-    t0 = time.monotonic()
-    n = 0
-    for start in range(0, len(paths), args.batch_size):
-        chunk = paths[start : start + args.batch_size]
-        frames = np.stack([_read_image(p) for p in chunk])
-        det = predictor(frames)
-        for i, p in enumerate(chunk):
-            _emit(args, str(p), frames[i], _det_slice(det, i), args.out_dir)
-        n += len(chunk)
+    s = predictor.bundle.config.image_size
+    records = [
+        {"name": p.name, "boxes": np.zeros((0, 4), np.float32),
+         "labels": np.zeros((0,), np.int32)}
+        for p in paths
+    ]
+    dataset = DetectionDataset(
+        records, args.image_dir, max_boxes=1,
+        decode_size=s if host_resize else None,
+    )
+    # drawing needs host RGB frames; pure-throughput sweeps take the
+    # half-the-bytes planar wire
+    wire = (
+        "rgb"
+        if (args.out_dir or not host_resize)
+        else resolve_wire(getattr(args, "wire", "auto"), dataset)
+    )
+    loader = make_loader(
+        dataset, args.batch_size, shuffle=False, num_epochs=1,
+        drop_last=False, num_workers=8, wire_format=wire,
+    )
+
+    hq: queue.Queue = queue.Queue(maxsize=4)
+    _END = object()
+
+    def producer():  # decode-ahead: loader threads run while device computes
+        try:
+            for b in loader:
+                hq.put(b)
+        finally:
+            hq.put(_END)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    n, t0 = 0, time.monotonic()
+    pending = None  # (names, host_frames|None, device_det, count)
+
+    def emit_pending(p):
+        nonlocal n
+        names, frames, det_dev, k = p
+        det = predictor.fetch(det_dev, k)
+        for i in range(k):
+            frame = frames[i] if frames is not None else None
+            _emit(args, names[i], frame, _det_slice(det, i), args.out_dir)
+        n += k
+
+    start = 0
+    while True:
+        item = hq.get()
+        if item is _END:
+            break
+        k = min(args.batch_size, len(paths) - start)
+        names = [str(p) for p in paths[start : start + k]]
+        start += args.batch_size
+        det = predictor._fwd(
+            predictor.state.params, predictor.state.batch_stats,
+            jax.tree.map(jnp.asarray, item.images),
+        )
+        if pending is not None:  # fetch/draw batch k-1 while k computes
+            emit_pending(pending)
+        frames = np.asarray(item.images) if args.out_dir else None
+        pending = (names, frames, det, k)
+    if pending is not None:
+        emit_pending(pending)
     dt = time.monotonic() - t0
     print(f"{n} images in {dt:.2f}s = {n / dt:.1f} imgs/sec (incl. compile)")
 
