@@ -7,12 +7,20 @@ state. Baseline target: 5000 imgs/sec on v5e-8 ⇒ 625 imgs/sec/chip
 (BASELINE.json:5); vs_baseline = value / 625.
 
 The JSON line also reports the chip-capability numbers the e2e figure can't
-show on this host (single core + ~55 MB/s tunnel): device-resident
-throughput at batch 128 and p50 batch=1 latency (BASELINE.md:14-16).
+show on this host (single core + ~55 MB/s tunnel):
+
+  * device-resident throughput via ONE dispatched fori_loop program
+    (tunnel-insensitive — per-dispatch latency cannot smear it),
+  * model GFLOPs/img from XLA cost analysis and the resulting MFU,
+  * p50 batch=1 latency,
+  * persistent-cache hit/miss counts + per-shape compile seconds, so a
+    large compile_s is attributable (recompilation vs device-server
+    program load).
 
 A stage breakdown (host decode steady state; tunnel pipeline = host→device
 wire + device compute overlapped) is logged to stderr and included in the
-JSON so pipeline regressions are attributable to a stage.
+JSON so pipeline regressions are attributable to a stage, plus the
+host-wait share of the e2e loop and e2e/min(stage) overlap ratio.
 
 Run: python bench.py [--batch_size 32] [--images 384] [--rounds 3]
 """
@@ -26,6 +34,15 @@ import time
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from benchmarks.common import (  # noqa: E402
+    CacheCounters,
+    compiled_flops,
+    mfu_fields,
+    resident_infer_rate,
+)
 
 
 def log(*a):
@@ -63,6 +80,7 @@ def main():
     from bdd100k_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    cache = CacheCounters().install()  # before any compile
 
     from bdd100k_tpu.configs import get_config
     from bdd100k_tpu.data.augment import preprocess_eval_batch
@@ -106,13 +124,15 @@ def main():
     bundle = build_detector(cfg)
     variables = bundle.init(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def infer_step(variables, images_u8):
+    def infer_fn(variables, images_u8):
         images = preprocess_eval_batch(images_u8, bundle.config.image_size)
         loc, cls = bundle.model.apply(variables, images, train=False)
         return bundle.postprocess(loc, cls)
 
-    # compile warmup for all three batch shapes used below
+    infer_step = jax.jit(infer_fn)
+
+    # compile warmup for all three batch shapes used below; per-shape
+    # timings + cache counters make a slow driver run attributable
     s = cfg.image_size
 
     def warm_input(b):
@@ -123,11 +143,24 @@ def main():
             )
         return jnp.zeros((b, s, s, 3), jnp.uint8)
 
-    t0 = time.monotonic()
+    compile_per_shape = {}
+    t_all = time.monotonic()
     for b in {args.batch_size, args.device_batch_size, 1}:
+        t0 = time.monotonic()
         jax.block_until_ready(infer_step(variables, warm_input(b)))
-    compile_s = time.monotonic() - t0
-    log(f"compile (3 shapes): {compile_s:.1f}s")
+        compile_per_shape[f"b{b}"] = round(time.monotonic() - t0, 1)
+    compile_s = time.monotonic() - t_all
+    log(f"compile (3 shapes): {compile_s:.1f}s  per-shape {compile_per_shape}"
+        f"  cache {cache.fields}")
+
+    # FLOPs of the b=device_batch program (forward + fused postprocess),
+    # from the COMPILED module's cost analysis — the basis for MFU
+    flops_batch = compiled_flops(
+        infer_step, variables, warm_input(args.device_batch_size)
+    )
+    flops_per_img = (
+        flops_batch / args.device_batch_size if flops_batch else None
+    )
 
     # ---- isolated stage rates (the binding one sets the e2e ceiling) ----
     # Measured the hard way because the obvious measurements lie on this
@@ -191,7 +224,8 @@ def main():
     # ---- steady-state end-to-end decode→NMS ----
     # Host decode workers run ahead, the double-buffered prefetcher overlaps
     # host→HBM transfer with device compute, and dispatch runs one batch
-    # behind so the device never idles.
+    # behind so the device never idles. host_wait tracks how long the
+    # consumer blocked on the input side — the overlap diagnostic.
     def batches():
         for _ in range(args.rounds):
             yield from make_loader(
@@ -202,25 +236,29 @@ def main():
     it = prefetch_to_device((b.images for b in batches()), size=3)
     det = infer_step(variables, next(it))  # exclude pool spin-up from steady state
     n_total = 0
+    host_wait = 0.0
     t0 = time.monotonic()
-    for batch in it:
+    while True:
+        t_w = time.monotonic()
+        batch = next(it, None)
+        if batch is None:
+            break
+        host_wait += time.monotonic() - t_w
         det = infer_step(variables, batch)
         n_total += args.batch_size
     jax.block_until_ready(det)
     dt = time.monotonic() - t0
     imgs_per_sec = n_total / dt
-    log(f"e2e: {n_total} images in {dt:.2f}s → {imgs_per_sec:.1f} imgs/s")
+    log(f"e2e: {n_total} images in {dt:.2f}s → {imgs_per_sec:.1f} imgs/s "
+        f"(host-wait {host_wait / dt:.0%})")
 
-    # ---- device-resident throughput at the chip's best batch size ----
-    resident = warm_input(args.device_batch_size)
-    jax.block_until_ready(infer_step(variables, resident))
-    n_iters = 30  # enough that the final-sync tunnel RTT (~30 ms) is noise
-    t0 = time.monotonic()
-    for _ in range(n_iters):
-        det = infer_step(variables, resident)
-    jax.block_until_ready(det)
-    device_only = n_iters * args.device_batch_size / (time.monotonic() - t0)
-    log(f"device-resident (b{args.device_batch_size}): {device_only:.1f} imgs/sec")
+    # ---- device-resident throughput: ONE dispatch, fori_loop on device ----
+    device_only, loop_compile_s = resident_infer_rate(
+        infer_fn, variables, warm_input(args.device_batch_size),
+        args.device_batch_size,
+    )
+    log(f"device-resident (b{args.device_batch_size}, fori_loop): "
+        f"{device_only:.1f} imgs/sec (loop compile {loop_compile_s:.1f}s)")
 
     # ---- p50 batch=1 latency, device-resident input ----
     one = warm_input(1)
@@ -243,11 +281,23 @@ def main():
         "device_resident_batch": args.device_batch_size,
         "p50_batch1_ms": round(p50_ms, 2),
         "compile_s": round(compile_s, 1),
+        "compile_per_shape_s": compile_per_shape,
+        "resident_loop_compile_s": round(loop_compile_s, 1),
         "wire": wire,
+        "e2e_host_wait_frac": round(host_wait / dt, 3),
         "note": "e2e bound by single-core host decode + tunneled "
                 "host-to-device link on this box",
     }
+    out.update(mfu_fields(flops_per_img, device_only))
+    out.update(cache.fields)
     out.update(stages)
+    binding = min(
+        (stages[k] for k in ("decode_imgs_per_sec",
+                             "tunnel_pipeline_imgs_per_sec") if k in stages),
+        default=None,
+    )
+    if binding:
+        out["e2e_over_binding_stage"] = round(imgs_per_sec / binding, 3)
     print(json.dumps(out))
 
 

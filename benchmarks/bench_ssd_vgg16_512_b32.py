@@ -4,6 +4,12 @@ val shard, on-device NMS (SURVEY.md §2.5 eval stack).
 End-to-end: host JPEG decode (threaded) → device preprocess → VGG16-SSD512
 forward → fused decode/score/NMS; only fixed detection slots return to host.
 
+Also reports the chip-capability numbers the e2e figure can't show on this
+tunneled host (VERDICT r2 missing #1): device-resident throughput via ONE
+dispatched fori_loop program, model GFLOPs/img from XLA cost analysis, and
+MFU — VGG16 is the MXU-heavy model in the repo, so this is the headline
+chip-utilization figure.
+
 Run: python benchmarks/bench_ssd_vgg16_512_b32.py [--images 128] [--rounds 3]
 """
 
@@ -18,9 +24,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from benchmarks.common import (  # noqa: E402
     TARGET_IMGS_PER_SEC_PER_CHIP,
+    CacheCounters,
+    compiled_flops,
     device_info,
     emit,
     log,
+    mfu_fields,
+    resident_infer_rate,
     synthetic_dataset,
 )
 
@@ -31,6 +41,7 @@ def main():
     p.add_argument("--images", type=int, default=128)
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--resident_iters", type=int, default=20)
     args = p.parse_args()
 
     import jax
@@ -41,6 +52,7 @@ def main():
     from bdd100k_tpu.data.pipeline import make_loader, prefetch_to_device
     from bdd100k_tpu.models.detector import build_detector
 
+    cache = CacheCounters().install()
     log(f"device: {device_info()}")
     dataset = synthetic_dataset("/tmp/bdd_bench_val", args.images, split="val")
     dataset.decode_size = 512  # host decode straight to model size
@@ -51,11 +63,12 @@ def main():
     bundle = build_detector(get_config("ssd_vgg16_512"))
     variables = bundle.init(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def infer(variables, images_u8):
+    def infer_fn(variables, images_u8):
         images = preprocess_eval_batch(images_u8, bundle.config.image_size)
         loc, cls = bundle.model.apply(variables, images, train=False)
         return bundle.postprocess(loc, cls)
+
+    infer = jax.jit(infer_fn)
 
     if wire == "yuv420":
         warm = (
@@ -66,7 +79,19 @@ def main():
         warm = jnp.zeros((args.batch_size, 512, 512, 3), jnp.uint8)
     t0 = time.monotonic()
     jax.block_until_ready(infer(variables, warm))
-    log(f"compile: {time.monotonic() - t0:.1f}s")
+    log(f"compile: {time.monotonic() - t0:.1f}s  cache {cache.fields}")
+
+    # chip capability: FLOPs from the COMPILED program + one-dispatch
+    # fori_loop resident throughput (tunnel-insensitive) → MFU
+    flops_batch = compiled_flops(infer, variables, warm)
+    flops_per_img = flops_batch / args.batch_size if flops_batch else None
+    device_only, loop_compile_s = resident_infer_rate(
+        infer_fn, variables, warm, args.batch_size,
+        iters=args.resident_iters,
+    )
+    mfu = mfu_fields(flops_per_img, device_only)
+    log(f"device-resident (b{args.batch_size}, fori_loop): "
+        f"{device_only:.1f} imgs/sec  {mfu}")
 
     def batches():
         for _ in range(args.rounds):
@@ -90,6 +115,10 @@ def main():
         "images/sec/chip",
         vs_baseline=(n / dt) / TARGET_IMGS_PER_SEC_PER_CHIP,
         wire=wire,
+        device_resident_imgs_per_sec=round(device_only, 1),
+        device_resident_batch=args.batch_size,
+        **mfu,
+        **cache.fields,
     )
 
 

@@ -4,6 +4,9 @@ with anchor matching + hard-negative mining (SURVEY.md §2.2-2.3).
 Measures the pure device step (fused augment → forward → batched match+mine
 → loss → grad → update) in steady state on resident batches — the compute
 half of the training pipeline; config 4 measures the full epoch with input.
+Reports both the per-dispatch p50 AND a one-dispatch fori_loop rate
+(tunnel-insensitive), plus train-step GFLOPs/img from XLA cost analysis and
+the resulting MFU (VERDICT r2 missing #1/#2).
 
 Run: python benchmarks/bench_yolo_train_b64.py [--iters 20]
 """
@@ -18,7 +21,16 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from benchmarks.common import device_info, emit, log, timed_loop  # noqa: E402
+from benchmarks.common import (  # noqa: E402
+    CacheCounters,
+    compiled_flops,
+    device_info,
+    emit,
+    log,
+    mfu_fields,
+    resident_train_rate,
+    timed_loop,
+)
 
 
 def main():
@@ -39,6 +51,7 @@ def main():
         make_train_step,
     )
 
+    cache = CacheCounters().install()
     log(f"device: {device_info()}")
     det_cfg = get_config("yolo_mobilenet_384")
     cfg = TrainConfig(batch_size=args.batch_size, max_boxes=100)
@@ -81,6 +94,20 @@ def main():
 
     total, p50, _ = timed_loop(run, args.iters)
     ips = args.batch_size * args.iters / total
+
+    # train-step FLOPs (augment+fwd+bwd+match+mine+update) of the COMPILED
+    # program, and a one-dispatch fori_loop rate the tunnel cannot smear
+    flops_batch = compiled_flops(step_fn, state, rng, *batch)
+    flops_per_img = flops_batch / args.batch_size if flops_batch else None
+    resident_ips, loop_compile_s = resident_train_rate(
+        step_fn, state, rng, batch, args.batch_size, iters=args.iters
+    )
+    mfu = {
+        ("train_step_gflops_per_img" if k == "model_gflops_per_img" else k): v
+        for k, v in mfu_fields(flops_per_img, resident_ips).items()
+    }
+    log(f"device-resident (fori_loop): {resident_ips:.1f} imgs/sec  {mfu}")
+
     # No published reference number for this config (BASELINE.md: "published
     # none"); report vs the BASELINE.json:5 throughput share for this chip
     # count as the comparable scale.
@@ -91,6 +118,10 @@ def main():
         "images/sec",
         vs_baseline=ips / (625.0 * n_dev),
         p50_step_ms=round(p50 * 1e3, 2),
+        device_resident_imgs_per_sec=round(resident_ips, 1),
+        resident_loop_compile_s=round(loop_compile_s, 1),
+        **mfu,
+        **cache.fields,
     )
 
 

@@ -47,25 +47,39 @@ def main() -> None:
     bundle = build_detector(cfg)
     variables = bundle.init(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def infer_step(variables, images_u8):
+    def infer_fn(variables, images_u8):
         images = preprocess_eval_batch(images_u8, cfg.image_size)
         loc, cls = bundle.model.apply(variables, images, train=False)
         return bundle.postprocess(loc, cls)
 
+    infer_step = jax.jit(infer_fn)
+
     s = cfg.image_size
-    for b in (int(x) for x in args.batch_sizes.split(",")):
+
+    def warm_input(b):
         if wire == "yuv420":
-            warm = (
+            return (
                 jnp.zeros((b, s, s), jnp.uint8),
                 jnp.zeros((b, s // 2, s // 2, 2), jnp.uint8),
             )
-        else:
-            warm = jnp.zeros((b, s, s, 3), jnp.uint8)
+        return jnp.zeros((b, s, s, 3), jnp.uint8)
+
+    batch_sizes = [int(x) for x in args.batch_sizes.split(",")]
+    for b in batch_sizes:
         t0 = time.monotonic()
-        jax.block_until_ready(infer_step(variables, warm))
+        jax.block_until_ready(infer_step(variables, warm_input(b)))
         print(f"warmed {args.config} b{b} ({wire}): "
               f"{time.monotonic() - t0:.1f}s", flush=True)
+
+    # bench.py's device-resident phase is a SEPARATE program (a fori_loop
+    # wrapping the inference step) — warm it at the device batch size too
+    from benchmarks.common import resident_infer_rate
+
+    b = max(batch_sizes)
+    t0 = time.monotonic()
+    resident_infer_rate(infer_fn, variables, warm_input(b), b)
+    print(f"warmed resident fori_loop b{b} ({wire}): "
+          f"{time.monotonic() - t0:.1f}s", flush=True)
 
     if not args.skip_dryrun:
         # the driver's 8-device virtual-CPU gate, in a clean subprocess

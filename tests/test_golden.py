@@ -4,23 +4,29 @@ committed under tests/fixtures/, golden box/class/score outputs stored as
 
     python -m tests.test_golden --regen
 
-The pipeline under test is the full inference chain on fixed-init weights:
-JPEG decode → preprocess → tiny-SSD forward → fused decode/score/NMS. Any
-unintended change to anchor layout, box math, scoring, or NMS keep
-decisions shifts these outputs.
+Two pipelines are pinned, one per head family:
+  * tiny-SSD  — softmax scoring + SSD variance decode through NMS
+  * tiny-YOLO — sigmoid·objectness scoring + σ-space decode through NMS
+on fixed-init weights: JPEG decode → preprocess → forward → fused
+decode/score/NMS. Any unintended change to anchor layout, box math,
+scoring, or NMS keep decisions shifts these outputs.
 """
 
 import json
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 FIXTURES = Path(__file__).parent / "fixtures"
-GOLDEN = FIXTURES / "golden_tiny_ssd.npz"
+GOLDEN = {
+    "ssd": FIXTURES / "golden_tiny_ssd.npz",
+    "yolo": FIXTURES / "golden_tiny_yolo.npz",
+}
 NUM_IMAGES = 4
 
 
-def _pipeline_outputs():
+def _pipeline_outputs(head: str):
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +41,7 @@ def _pipeline_outputs():
     assert len(dataset) == NUM_IMAGES
     images = np.stack([dataset[i]["image"] for i in range(NUM_IMAGES)])
 
-    bundle = build_detector(tiny_test_config("ssd"), dtype=jnp.float32)
+    bundle = build_detector(tiny_test_config(head), dtype=jnp.float32)
     variables = bundle.init(jax.random.PRNGKey(0))
 
     def fwd(variables, images_u8):
@@ -51,33 +57,36 @@ def _regen():
     from bdd100k_tpu.data.synthetic import generate_synthetic_dataset
 
     FIXTURES.mkdir(exist_ok=True)
-    labels = generate_synthetic_dataset(
-        FIXTURES / "_gen", num_images=NUM_IMAGES, seed=1234
-    )
-    # flatten into tests/fixtures/: images + labels.json side by side
-    import shutil
-
-    records = json.loads(Path(labels).read_text())
-    for rec in records:
-        shutil.move(
-            str(FIXTURES / "_gen" / "images" / "train" / rec["name"]),
-            str(FIXTURES / rec["name"]),
+    if not (FIXTURES / "labels.json").exists():
+        labels = generate_synthetic_dataset(
+            FIXTURES / "_gen", num_images=NUM_IMAGES, seed=1234
         )
-    (FIXTURES / "labels.json").write_text(json.dumps(records))
-    shutil.rmtree(FIXTURES / "_gen")
+        # flatten into tests/fixtures/: images + labels.json side by side
+        import shutil
 
-    det = _pipeline_outputs()
-    np.savez(
-        GOLDEN,
-        boxes=det.boxes, scores=det.scores,
-        classes=det.classes, valid=det.valid,
-    )
-    print(f"regenerated {GOLDEN}: {int(det.valid.sum())} valid detections")
+        records = json.loads(Path(labels).read_text())
+        for rec in records:
+            shutil.move(
+                str(FIXTURES / "_gen" / "images" / "train" / rec["name"]),
+                str(FIXTURES / rec["name"]),
+            )
+        (FIXTURES / "labels.json").write_text(json.dumps(records))
+        shutil.rmtree(FIXTURES / "_gen")
+
+    for head, path in GOLDEN.items():
+        det = _pipeline_outputs(head)
+        np.savez(
+            path,
+            boxes=det.boxes, scores=det.scores,
+            classes=det.classes, valid=det.valid,
+        )
+        print(f"regenerated {path}: {int(det.valid.sum())} valid detections")
 
 
-def test_golden_pipeline_outputs():
-    golden = np.load(GOLDEN)
-    det = _pipeline_outputs()
+@pytest.mark.parametrize("head", ["ssd", "yolo"])
+def test_golden_pipeline_outputs(head):
+    golden = np.load(GOLDEN[head])
+    det = _pipeline_outputs(head)
 
     np.testing.assert_array_equal(det.valid, golden["valid"])
     v = golden["valid"]
