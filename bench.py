@@ -19,8 +19,11 @@ show on this host (single core + ~55 MB/s tunnel):
 
 A stage breakdown (host decode steady state; tunnel pipeline = host→device
 wire + device compute overlapped) is logged to stderr and included in the
-JSON so pipeline regressions are attributable to a stage, plus the
-host-wait share of the e2e loop and e2e/min(stage) overlap ratio.
+JSON so pipeline regressions are attributable to a stage, each with its
+system cpu-busy share. Because decode and the out-of-process tunnel proxy
+contend for this host's ONE core, the e2e ceiling is the cpu-contention
+one (ncores / Σ core-seconds per image), not min(stage); the JSON reports
+e2e against both.
 
 Run: python bench.py [--batch_size 32] [--images 384] [--rounds 3]
 """
@@ -29,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -60,6 +64,14 @@ def main():
     p.add_argument("--images", type=int, default=384)
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--e2e_workers", type=int, default=2,
+                   help="decode workers for the END-TO-END phase. Default 2, "
+                        "NOT num_workers: on this one-core host the tunnel "
+                        "proxy is an external process needing ~0.7 core, and "
+                        "a deeper decode pool starves it (measured: e2e is "
+                        "~186 imgs/s stable at 2 workers vs 143-183 "
+                        "fluctuating at 8). The isolated decode stage keeps "
+                        "num_workers to report the pool's own capability")
     p.add_argument("--config", default="ssd_mobilenet_300")
     p.add_argument("--preselect", choices=("exact", "approx"), default="exact",
                    help="NMS candidate preselect; approx (TPU approx_max_k) "
@@ -169,7 +181,20 @@ def main():
     # when a program consumes the buffer — so the wire rate must be
     # measured as put→infer pipelined, and the decode rate must exclude
     # the decode pool's ~1.7 s spin-up to reflect steady state.
+    #
+    # Each stage also records the SYSTEM cpu-busy fraction while it ran
+    # (/proc/stat, so the out-of-process tunnel proxy is counted): on this
+    # one-core host the wire costs ~0.7 core — decode and transfer can
+    # never both run at their isolated rates, so min(stage) is NOT the e2e
+    # ceiling. The honest ceiling is the cpu-contention one:
+    #     ncores / Σ_stage(core-seconds per image).
+    def _sys_busy():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v) - v[3] - v[4], sum(v)  # (busy, total) jiffies
+
     stages = {}
+    cpu_s_per_img = 0.0  # Σ core-seconds per image across host stages
     if not args.skip_stages:
         # host decode steady state (native pool / cv2), skip spin-up
         loader = make_loader(
@@ -179,12 +204,15 @@ def main():
         n_batches = max(args.images // args.batch_size - 2, 1)
         for _ in range(2):  # pool spin-up + first fills
             next(loader)
-        t0 = time.monotonic()
+        t0, (b0, j0) = time.monotonic(), _sys_busy()
         for _ in range(n_batches):
             host = next(loader).images
-        stages["decode_imgs_per_sec"] = round(
-            n_batches * args.batch_size / (time.monotonic() - t0), 1
-        )
+        dt, (b1, j1) = time.monotonic() - t0, _sys_busy()
+        rate = n_batches * args.batch_size / dt
+        busy = (b1 - b0) / max(j1 - j0, 1)
+        stages["decode_imgs_per_sec"] = round(rate, 1)
+        stages["decode_cpu_busy"] = round(busy, 2)
+        cpu_s_per_img += busy * os.cpu_count() / rate
         loader.close()
 
         # tunnel pipeline ceiling: put+infer with puts in a feeder thread
@@ -207,18 +235,29 @@ def main():
 
         jax.block_until_ready(infer_step(variables, jax.device_put(xs[0])))
         _threading.Thread(target=_feeder, daemon=True).start()
-        t0 = time.monotonic()
+        t0, (b0, j0) = time.monotonic(), _sys_busy()
         while True:
             item = q.get()
             if item is None:
                 break
             det = infer_step(variables, item)
         jax.block_until_ready(det)
-        dt = time.monotonic() - t0
-        stages["tunnel_pipeline_imgs_per_sec"] = round(
-            len(xs) * args.batch_size / dt, 1
-        )
+        dt, (b1, j1) = time.monotonic() - t0, _sys_busy()
+        rate = len(xs) * args.batch_size / dt
+        busy = (b1 - b0) / max(j1 - j0, 1)
+        stages["tunnel_pipeline_imgs_per_sec"] = round(rate, 1)
+        stages["tunnel_cpu_busy"] = round(busy, 2)
+        cpu_s_per_img += busy * os.cpu_count() / rate
         stages["wire_MB_per_sec"] = round(len(xs) * x_bytes / 1e6 / dt, 1)
+        if cpu_s_per_img > 0:
+            stages["contention_ceiling_imgs_per_sec"] = round(
+                min(
+                    os.cpu_count() / cpu_s_per_img,
+                    stages["decode_imgs_per_sec"],
+                    stages["tunnel_pipeline_imgs_per_sec"],
+                ),
+                1,
+            )
         log(f"stage rates: {stages}")
 
     # ---- steady-state end-to-end decode→NMS ----
@@ -230,7 +269,7 @@ def main():
         for _ in range(args.rounds):
             yield from make_loader(
                 dataset, args.batch_size, shuffle=False, num_epochs=1,
-                num_workers=args.num_workers, wire_format=wire,
+                num_workers=args.e2e_workers, wire_format=wire,
             )
 
     it = prefetch_to_device((b.images for b in batches()), size=3)
@@ -298,6 +337,12 @@ def main():
     )
     if binding:
         out["e2e_over_binding_stage"] = round(imgs_per_sec / binding, 3)
+    # the achievable ratio: e2e vs the cpu-contention ceiling (decode and
+    # the out-of-process tunnel proxy share this host's one core, so
+    # min(stage) is unreachable by construction — see the stage comment)
+    ceiling = stages.get("contention_ceiling_imgs_per_sec")
+    if ceiling:
+        out["e2e_over_contention_ceiling"] = round(imgs_per_sec / ceiling, 3)
     print(json.dumps(out))
 
 
