@@ -232,6 +232,12 @@ def main(argv=None):
         # un-meshed jit must land on THIS process's device, not global dev 0
         jax.config.update("jax_default_device", jax.local_devices()[0])
     bundle = build_detector(det_cfg)
+    # absorb the device server's one-time first-program setup (minutes,
+    # server-side — utils/server_warm.py) while the checkpoint restores
+    # and the dataset/loader builds; no-op on CPU / multi-host
+    from bdd100k_tpu.utils.server_warm import start_server_warm
+
+    start_server_warm(bundle)
     state = create_train_state(
         bundle, TrainConfig(), jax.random.PRNGKey(0), mesh=mesh
     )

@@ -167,6 +167,12 @@ def load_predictor(args, batch_size: int,
                    host_resize: bool = False) -> Predictor:
     det_cfg = get_config(args.config)
     bundle = build_detector(det_cfg)
+    # absorb the device server's one-time first-program setup (minutes,
+    # server-side — utils/server_warm.py) while the checkpoint restores;
+    # no-op on CPU / multi-host
+    from bdd100k_tpu.utils.server_warm import start_server_warm
+
+    start_server_warm(bundle)
     state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
     if args.ckpt_dir:
         state, step = CheckpointManager(args.ckpt_dir).restore_latest(

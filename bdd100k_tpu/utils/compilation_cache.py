@@ -56,5 +56,13 @@ def enable_compilation_cache(path: str | None = None) -> None:
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Don't embed full user stack traces in op locations: Pallas/Mosaic
+        # custom-call payloads carry their module's locs INSIDE the
+        # backend_config, where the cache key's strip-debuginfo pass cannot
+        # reach — with full tracebacks, editing an unrelated line in a
+        # driver shifts call-site line numbers and silently invalidates
+        # its cache entries (measured: a comment at the top of bench.py
+        # changed 2 of 3 program keys). One frame keeps profiles readable.
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:
         pass  # older jax without the knobs

@@ -117,6 +117,14 @@ def main():
                 cfg.postprocess, preselect=args.preselect
             ),
         )
+    # Absorb the device server's one-time first-program cost (55-400 s,
+    # server-side, NOT recompilation — see utils/server_warm.py) in the
+    # background while the host builds the dataset and measures stages.
+    from bdd100k_tpu.utils.server_warm import start_server_warm
+
+    bundle = build_detector(cfg)
+    warm = start_server_warm(bundle)
+
     root = Path("/tmp/bdd_bench")
     labels = ensure_synthetic_dataset(root, num_images=args.images, seed=0)
     # decode straight to model size on host (DCT-domain downscale): same
@@ -133,7 +141,49 @@ def main():
     wire = resolve_wire(args.wire, dataset)
     log(f"wire format: {wire}")
 
-    bundle = build_detector(cfg)
+    # ---- host decode stage ----
+    # The background server warm (a blocked RPC, ~no host CPU) is in
+    # flight; anything measured now would be contaminated by its residual
+    # host work, so while it runs the loader spins UNMEASURED (fills the
+    # page cache, pays pool spin-up), and the measured pass starts only
+    # after the join. Net effect: the warm's 1-9 min hides behind useful
+    # host work instead of serializing in front of the compile phase.
+    def _sys_busy():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v) - v[3] - v[4], sum(v)  # (busy, total) jiffies
+
+    stages = {}
+    cpu_s_per_img = 0.0  # Σ core-seconds per image across host stages
+    host = None
+    if not args.skip_stages:
+        # host decode steady state (native pool / cv2), skip spin-up
+        loader = make_loader(
+            dataset, args.batch_size, shuffle=False, num_epochs=None,
+            num_workers=args.num_workers, wire_format=wire,
+        )
+        n_batches = max(args.images // args.batch_size - 2, 1)
+        for _ in range(2):  # pool spin-up + first fills
+            next(loader)
+        while warm._thread.is_alive():  # unmeasured spin during the warm
+            next(loader)
+            warm.join(timeout=0.05)
+        t0, (b0, j0) = time.monotonic(), _sys_busy()
+        for _ in range(n_batches):
+            host = next(loader).images
+        dt, (b1, j1) = time.monotonic() - t0, _sys_busy()
+        rate = n_batches * args.batch_size / dt
+        busy = (b1 - b0) / max(j1 - j0, 1)
+        stages["decode_imgs_per_sec"] = round(rate, 1)
+        stages["decode_cpu_busy"] = round(busy, 2)
+        cpu_s_per_img += busy * os.cpu_count() / rate
+        loader.close()
+
+    warm.join()
+    server_warm_s = warm.seconds
+    log(f"server warm (overlapped): {server_warm_s:.1f}s"
+        + (f"  [failed: {warm.error}]" if warm.error else ""))
+
     variables = bundle.init(jax.random.PRNGKey(0))
 
     def infer_fn(variables, images_u8):
@@ -188,33 +238,8 @@ def main():
     # never both run at their isolated rates, so min(stage) is NOT the e2e
     # ceiling. The honest ceiling is the cpu-contention one:
     #     ncores / Σ_stage(core-seconds per image).
-    def _sys_busy():
-        with open("/proc/stat") as f:
-            v = list(map(int, f.readline().split()[1:]))
-        return sum(v) - v[3] - v[4], sum(v)  # (busy, total) jiffies
-
-    stages = {}
-    cpu_s_per_img = 0.0  # Σ core-seconds per image across host stages
+    # (decode stage already measured above, overlapped with the warm)
     if not args.skip_stages:
-        # host decode steady state (native pool / cv2), skip spin-up
-        loader = make_loader(
-            dataset, args.batch_size, shuffle=False, num_epochs=None,
-            num_workers=args.num_workers, wire_format=wire,
-        )
-        n_batches = max(args.images // args.batch_size - 2, 1)
-        for _ in range(2):  # pool spin-up + first fills
-            next(loader)
-        t0, (b0, j0) = time.monotonic(), _sys_busy()
-        for _ in range(n_batches):
-            host = next(loader).images
-        dt, (b1, j1) = time.monotonic() - t0, _sys_busy()
-        rate = n_batches * args.batch_size / dt
-        busy = (b1 - b0) / max(j1 - j0, 1)
-        stages["decode_imgs_per_sec"] = round(rate, 1)
-        stages["decode_cpu_busy"] = round(busy, 2)
-        cpu_s_per_img += busy * os.cpu_count() / rate
-        loader.close()
-
         # tunnel pipeline ceiling: put+infer with puts in a feeder thread
         # (the same overlap structure prefetch_to_device uses), fresh
         # arrays so nothing is cached. Upper-bounds e2e minus decode.
@@ -322,6 +347,10 @@ def main():
         "compile_s": round(compile_s, 1),
         "compile_per_shape_s": compile_per_shape,
         "resident_loop_compile_s": round(loop_compile_s, 1),
+        # one-time device-server first-program setup, absorbed in a
+        # background thread overlapped with dataset+decode-stage work —
+        # see utils/server_warm.py for the measurements behind this
+        "server_warm_s": round(server_warm_s, 1) if server_warm_s else None,
         "wire": wire,
         "e2e_host_wait_frac": round(host_wait / dt, 3),
         "note": "e2e bound by single-core host decode + tunneled "

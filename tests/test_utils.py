@@ -36,3 +36,17 @@ def test_draw_detections_modifies_copy():
     assert out.sum() > 0             # box 1 drawn
     # the low-score box region stays empty (threshold filtered)
     assert out[30:70, 130:170].sum() == 0
+
+
+def test_server_warm_is_noop_on_cpu():
+    """On the CPU backend (tests) the server warm must not spawn a compile
+    thread — it would contend for the single core and desync the
+    lockstepped multi-host tests (utils/server_warm.py gate)."""
+    from bdd100k_tpu.configs import get_config
+    from bdd100k_tpu.models.detector import build_detector
+    from bdd100k_tpu.utils.server_warm import start_server_warm
+
+    handle = start_server_warm(build_detector(get_config("ssd_mobilenet_300")))
+    handle.join(timeout=5)
+    assert handle.seconds == 0.0
+    assert handle.error is None
