@@ -226,6 +226,12 @@ def main(argv=None):
     mesh = make_mesh(num_data=args.mesh_data)
     print(f"mesh: {mesh.shape} over {len(mesh.devices.ravel())} devices")
     bundle = build_detector(det_cfg)
+    # absorb the device server's one-time first-program setup (minutes,
+    # server-side — utils/server_warm.py) while the state initializes and
+    # the checkpoint/loader build; no-op on CPU / multi-host
+    from bdd100k_tpu.utils.server_warm import start_server_warm
+
+    start_server_warm(bundle)
     rng = jax.random.PRNGKey(train_cfg.seed)
     rng, init_rng = jax.random.split(rng)
     state = create_train_state(bundle, train_cfg, init_rng, mesh=mesh)
