@@ -35,6 +35,13 @@ def main():
 
     log(f"device: {device_info()}")
     bundle = build_detector(get_config("ssd_mobilenet_300"))
+    # absorb the device server's one-time first-program setup in the
+    # background (utils/server_warm.py); joined implicitly by the first
+    # real dispatch, overlapped with data/init setup meanwhile
+    from bdd100k_tpu.utils.server_warm import start_server_warm
+
+    start_server_warm(bundle)
+
     variables = bundle.init(jax.random.PRNGKey(0))
 
     @jax.jit

@@ -61,6 +61,13 @@ def main():
     wire = resolve_wire(dataset=dataset)
     log(f"wire format: {wire}")
     bundle = build_detector(get_config("ssd_vgg16_512"))
+    # absorb the device server's one-time first-program setup in the
+    # background (utils/server_warm.py); joined implicitly by the first
+    # real dispatch, overlapped with data/init setup meanwhile
+    from bdd100k_tpu.utils.server_warm import start_server_warm
+
+    start_server_warm(bundle)
+
     variables = bundle.init(jax.random.PRNGKey(0))
 
     def infer_fn(variables, images_u8):

@@ -57,6 +57,13 @@ def main():
     cfg = TrainConfig(batch_size=args.batch_size, max_boxes=100)
     mesh = make_mesh()
     bundle = build_detector(det_cfg)
+    # absorb the device server's one-time first-program setup in the
+    # background (utils/server_warm.py); joined implicitly by the first
+    # real dispatch, overlapped with data/init setup meanwhile
+    from bdd100k_tpu.utils.server_warm import start_server_warm
+
+    start_server_warm(bundle)
+
     state = create_train_state(bundle, cfg, jax.random.PRNGKey(0), mesh=mesh)
     # donate=False so the same state can be fed every iteration
     step_fn = make_train_step(
