@@ -47,8 +47,9 @@ def parse_args(argv=None):
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--out", default=None, help="write results JSON here")
     p.add_argument("--mesh_data", type=int, default=None)
-    p.add_argument("--nms", choices=("auto", "xla", "pallas"), default="auto",
-                   help="NMS backend (identical keep decisions either way)")
+    p.add_argument("--nms", choices=("auto", "xla", "pallas", "fixpoint"),
+                   default="auto",
+                   help="NMS backend (identical keep decisions in all)")
     p.add_argument("--preselect", choices=("exact", "approx"), default="exact",
                    help="per-class candidate preselect: exact top-k or the "
                         "faster TPU approx_max_k (~0.95 candidate recall)")

@@ -151,32 +151,78 @@ def batched_class_nms(
     )(boxes, class_scores)
 
 
-def batched_class_nms_pallas(
+def fixpoint_greedy_suppress(
+    boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float = 0.45
+) -> jnp.ndarray:
+    """Greedy NMS keep mask computed as a matmul fixpoint — no K-step loop.
+
+    Greedy keep is the unique solution of
+        keep[i] = valid[i] ∧ ¬∃ j<i: (iou[i,j] > t ∧ keep[j])
+    (unique by induction on i: keep[i] is determined by keep[0..i-1]).
+    Jacobi-iterate that equation from keep⁰ = valid: each pass is one
+    batched masked matvec `killed = edge @ keep` — MXU work instead of the
+    K-step sequential chain in :func:`greedy_keep_mask`. After m passes
+    every candidate whose suppression-dependency chain is shorter than m
+    has its final value and never changes (induction over chain depth), so
+    the iteration reaches the unique fixpoint in ≤ max-chain-depth passes —
+    typically ~4-8 for detection boxes, bounded by K. The `while_loop`
+    stops at the first unchanged pass.
+
+    Exactness: the IoU matrix comes from the same `box_ops.iou_pairwise`
+    the oracle uses (bit-identical thresholding); edge/keep are exact 0/1
+    values — bf16 operands with f32 accumulation count them exactly
+    (counts ≤ K < 2²⁴), so keep decisions match the oracle bit-for-bit.
+
+    Args/returns match :func:`~bdd100k_tpu.ops.pallas_nms.pallas_greedy_suppress`:
+    boxes (..., K, 4) score-desc corner boxes, valid (..., K) bool →
+    keep (..., K) bool.
+    """
+    k = boxes.shape[-2]
+    iou = box_ops.iou_pairwise(boxes, boxes)                    # (..., K, K)
+    earlier = jnp.arange(k)[:, None] > jnp.arange(k)[None, :]   # [i,j]: j < i
+    edge = ((iou > iou_threshold) & earlier).astype(jnp.bfloat16)
+    valid_f = valid.astype(jnp.float32)
+
+    def cond(state):
+        keep, prev = state
+        return jnp.any(keep != prev)
+
+    def body(state):
+        keep, _ = state
+        killed = (
+            jnp.einsum(
+                "...ij,...j->...i",
+                edge,
+                keep.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            > 0.0
+        )
+        return valid_f * (1.0 - killed.astype(jnp.float32)), keep
+
+    keep, _ = jax.lax.while_loop(cond, body, (valid_f, -valid_f - 1.0))
+    return keep > 0.5
+
+
+def _preselect_candidates(
     boxes: jnp.ndarray,
     class_scores: jnp.ndarray,
-    iou_threshold: float = 0.45,
-    score_threshold: float = 0.01,
-    per_class_topk: int = 200,
-    max_detections: int = 200,
-    interpret: bool = False,
-    preselect: str = "exact",
-) -> Detections:
-    """Same keep decisions as :func:`batched_class_nms`, with the greedy
-    suppression chain running as a Pallas VMEM kernel (ops.pallas_nms).
+    score_threshold: float,
+    per_class_topk: int,
+    preselect: str,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-class top-k candidate preselection, shared by the pallas and
+    fixpoint NMS paths.
 
-    XLA keeps what it does best (score threshold, per-class top-k
-    preselect, final cross-class top-k); the kernel takes the k-step
-    sequential part. Exact agreement with the jnp oracle is asserted in
-    tests (SURVEY.md §4.2).
+    Returns (cand_boxes (B, C, k, 4), top_scores (B, C, k), valid (B, C, k))
+    with candidates score-descending within each (image, class).
 
-    `preselect="approx"` swaps the per-class candidate preselection to the
-    TPU-native `lax.approx_max_k` (PartialReduce; ~0.95 recall on the
-    candidate SET — final detections still score-exact). Orders of
-    magnitude faster than the sort-based exact top-k on TPU; keep "exact"
-    when bit-parity with the oracle matters.
+    `preselect="approx"` uses the TPU-native `lax.approx_max_k`
+    (PartialReduce; ~0.95 recall on the candidate SET — final detections
+    still score-exact). Orders of magnitude faster than the sort-based
+    exact top-k on TPU; keep "exact" when bit-parity with the oracle
+    matters.
     """
-    from bdd100k_tpu.ops.pallas_nms import pallas_greedy_suppress
-
     b, n, num_classes = class_scores.shape
     k = min(per_class_topk, n)
 
@@ -207,11 +253,17 @@ def batched_class_nms_pallas(
         b, num_classes, k, 4
     )  # (B, C, k, 4)
     valid = top_scores > 0.0
+    return cand_boxes, top_scores, valid
 
-    keep = pallas_greedy_suppress(
-        cand_boxes, valid, iou_threshold, interpret=interpret
-    )  # (B, C, k)
 
+def _finalize_detections(
+    cand_boxes: jnp.ndarray,
+    top_scores: jnp.ndarray,
+    keep: jnp.ndarray,
+    max_detections: int,
+) -> Detections:
+    """Cross-class top-k over kept candidates → fixed `Detections` slots."""
+    b, num_classes, k, _ = cand_boxes.shape
     class_ids = jnp.broadcast_to(
         jnp.arange(1, num_classes + 1, dtype=jnp.int32)[None, :, None],
         top_scores.shape,
@@ -235,3 +287,52 @@ def batched_class_nms_pallas(
         ),
         valid=out_valid,
     )
+
+
+def batched_class_nms_pallas(
+    boxes: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.01,
+    per_class_topk: int = 200,
+    max_detections: int = 200,
+    interpret: bool = False,
+    preselect: str = "exact",
+) -> Detections:
+    """Same keep decisions as :func:`batched_class_nms`, with the greedy
+    suppression chain running as a Pallas VMEM kernel (ops.pallas_nms).
+
+    XLA keeps what it does best (score threshold, per-class top-k
+    preselect, final cross-class top-k); the kernel takes the k-step
+    sequential part. Exact agreement with the jnp oracle is asserted in
+    tests (SURVEY.md §4.2).
+    """
+    from bdd100k_tpu.ops.pallas_nms import pallas_greedy_suppress
+
+    cand_boxes, top_scores, valid = _preselect_candidates(
+        boxes, class_scores, score_threshold, per_class_topk, preselect
+    )
+    keep = pallas_greedy_suppress(
+        cand_boxes, valid, iou_threshold, interpret=interpret
+    )  # (B, C, k)
+    return _finalize_detections(cand_boxes, top_scores, keep, max_detections)
+
+
+def batched_class_nms_fixpoint(
+    boxes: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.01,
+    per_class_topk: int = 200,
+    max_detections: int = 200,
+    preselect: str = "exact",
+) -> Detections:
+    """Same keep decisions as :func:`batched_class_nms`, with the greedy
+    suppression chain computed as a matmul fixpoint
+    (:func:`fixpoint_greedy_suppress`) — pure XLA, no Pallas, the
+    sequential K-step chain replaced by ~chain-depth MXU passes."""
+    cand_boxes, top_scores, valid = _preselect_candidates(
+        boxes, class_scores, score_threshold, per_class_topk, preselect
+    )
+    keep = fixpoint_greedy_suppress(cand_boxes, valid, iou_threshold)
+    return _finalize_detections(cand_boxes, top_scores, keep, max_detections)

@@ -39,7 +39,9 @@ class PostprocessConfig:
         box_ops.VARIANCE_SIZE,
     )
     # NMS backend: "auto" → Pallas kernel on TPU, pure-XLA elsewhere;
-    # "xla" | "pallas" force one (both produce identical keep decisions).
+    # "xla" | "pallas" | "fixpoint" force one (identical keep decisions —
+    # "fixpoint" solves the greedy recurrence as a matmul fixpoint,
+    # ops.nms.fixpoint_greedy_suppress: pure XLA, MXU-friendly).
     nms_impl: str = "auto"
     # candidate preselection (pallas path): "exact" per-class top-k, or
     # "approx" = TPU-native lax.approx_max_k (~0.95 candidate recall, far
@@ -88,10 +90,18 @@ def postprocess(
     impl = config.nms_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
-        from bdd100k_tpu.ops.nms import batched_class_nms_pallas
+    if impl in ("pallas", "fixpoint"):
+        from bdd100k_tpu.ops.nms import (
+            batched_class_nms_fixpoint,
+            batched_class_nms_pallas,
+        )
 
-        return batched_class_nms_pallas(
+        fn = (
+            batched_class_nms_pallas
+            if impl == "pallas"
+            else batched_class_nms_fixpoint
+        )
+        return fn(
             decoded,
             scores,
             iou_threshold=config.iou_threshold,

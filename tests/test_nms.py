@@ -2,11 +2,14 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bdd100k_tpu.ops import boxes as B
 from bdd100k_tpu.ops.nms import (
     batched_class_nms,
+    batched_class_nms_fixpoint,
     class_nms,
+    fixpoint_greedy_suppress,
     greedy_keep_mask,
     nms_single_class,
 )
@@ -139,3 +142,109 @@ def test_postprocess_sigmoid_mode():
     valid = np.asarray(det.valid)[0]
     assert valid.sum() == 1
     assert np.asarray(det.classes)[0][valid].tolist() == [1]
+
+
+class TestFixpointSuppress:
+    """fixpoint_greedy_suppress must match the sequential oracle exactly
+    (it solves the same recurrence — SURVEY.md §4.2 parity discipline)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_oracle_random(self, seed):
+        rng = np.random.RandomState(seed)
+        b, c, k = 3, 4, 64
+        cxy = rng.uniform(0.05, 0.95, (b, c, k, 2))
+        wh = rng.uniform(0.02, 0.4, (b, c, k, 2))
+        boxes = np.clip(
+            np.concatenate([cxy - wh / 2, cxy + wh / 2], -1), 0, 1
+        ).astype(np.float32)
+        valid = rng.rand(b, c, k) > 0.2
+        keep = np.asarray(
+            fixpoint_greedy_suppress(
+                jnp.asarray(boxes), jnp.asarray(valid), 0.45
+            )
+        )
+        for i in range(b):
+            for j in range(c):
+                exp = np.asarray(
+                    greedy_keep_mask(
+                        jnp.asarray(boxes[i, j]), jnp.asarray(valid[i, j]), 0.45
+                    )
+                )
+                np.testing.assert_array_equal(keep[i, j], exp)
+
+    def test_deep_suppression_chain(self):
+        """Worst case for the Jacobi iteration: a K-long chain where each
+        box overlaps only its neighbor, so greedy alternates keep/kill and
+        the fixpoint needs many passes — must still terminate exact."""
+        k = 48
+        # boxes of width 0.05 sliding by 0.01: neighbor IoU = 0.04/0.06 =
+        # 0.67 > 0.45, next-neighbor IoU = 0.03/0.07 = 0.43 < 0.45
+        x = 0.01 * np.arange(k)
+        boxes = np.stack([x, np.zeros(k), x + 0.05, np.full(k, 0.05)], -1)
+        boxes = boxes.astype(np.float32)[None, None]  # (1, 1, K, 4)
+        valid = np.ones((1, 1, k), bool)
+        keep = np.asarray(
+            fixpoint_greedy_suppress(jnp.asarray(boxes), jnp.asarray(valid), 0.45)
+        )[0, 0]
+        exp = np.asarray(
+            greedy_keep_mask(jnp.asarray(boxes[0, 0]), jnp.asarray(valid[0, 0]), 0.45)
+        )
+        np.testing.assert_array_equal(keep, exp)
+        assert keep.sum() == (k + 1) // 2  # alternating survivors
+
+    @pytest.mark.parametrize("seed", [0, 7])
+    def test_full_fixpoint_nms_matches_xla(self, seed):
+        rng = np.random.RandomState(seed)
+        b, n, c = 2, 300, 5
+        cxy = rng.uniform(0.05, 0.95, (b, n, 2))
+        wh = rng.uniform(0.02, 0.4, (b, n, 2))
+        boxes = np.clip(
+            np.concatenate([cxy - wh / 2, cxy + wh / 2], -1), 0, 1
+        ).astype(np.float32)
+        scores = rng.rand(b, n, c).astype(np.float32) ** 3
+        kw = dict(
+            iou_threshold=0.45,
+            score_threshold=0.05,
+            per_class_topk=64,
+            max_detections=50,
+        )
+        ref = batched_class_nms(jnp.asarray(boxes), jnp.asarray(scores), **kw)
+        out = batched_class_nms_fixpoint(
+            jnp.asarray(boxes), jnp.asarray(scores), **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.valid), np.asarray(out.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.scores), np.asarray(out.scores), rtol=0, atol=0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.classes), np.asarray(out.classes)
+        )
+        v = np.asarray(ref.valid)
+        np.testing.assert_allclose(
+            np.asarray(ref.boxes)[v], np.asarray(out.boxes)[v], rtol=0, atol=0
+        )
+
+
+def test_postprocess_impl_parity():
+    """nms_impl='xla' vs 'fixpoint' vs 'pallas'(interpret path is exercised
+    in test_pallas_nms) must produce identical Detections from real logits."""
+    rng = np.random.RandomState(5)
+    b, n, c = 2, 128, 4
+    anchors = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(0.2, 0.8, (n, 2)), rng.uniform(0.05, 0.3, (n, 2))], -1
+        ).astype(np.float32)
+    )
+    loc = jnp.asarray(rng.randn(b, n, 4).astype(np.float32) * 0.1)
+    cls = jnp.asarray(rng.randn(b, n, c + 1).astype(np.float32) * 2)
+    ref = postprocess(loc, cls, anchors, PostprocessConfig(nms_impl="xla"))
+    out = postprocess(loc, cls, anchors, PostprocessConfig(nms_impl="fixpoint"))
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
+    np.testing.assert_allclose(
+        np.asarray(ref.scores), np.asarray(out.scores), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.classes), np.asarray(out.classes)
+    )
