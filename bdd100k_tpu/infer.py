@@ -59,6 +59,9 @@ def parse_args(argv=None):
                    help="host->device wire format; yuv420 (auto-on with "
                         "host_resize) ships planar Y + subsampled CbCr — "
                         "half the transfer bytes of RGB")
+    p.add_argument("--nms", choices=("auto", "xla", "pallas", "fixpoint"),
+                   default="auto",
+                   help="NMS backend (identical keep decisions in all)")
     return p.parse_args(argv)
 
 
@@ -166,6 +169,15 @@ class Predictor:
 def load_predictor(args, batch_size: int,
                    host_resize: bool = False) -> Predictor:
     det_cfg = get_config(args.config)
+    if getattr(args, "nms", "auto") != "auto":
+        import dataclasses
+
+        det_cfg = dataclasses.replace(
+            det_cfg,
+            postprocess=dataclasses.replace(
+                det_cfg.postprocess, nms_impl=args.nms
+            ),
+        )
     bundle = build_detector(det_cfg)
     # absorb the device server's one-time first-program setup (minutes,
     # server-side — utils/server_warm.py) while the checkpoint restores;

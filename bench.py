@@ -77,6 +77,10 @@ def main():
                    help="NMS candidate preselect; approx (TPU approx_max_k) "
                         "trades ~0.95 candidate recall for ~1.5x device "
                         "throughput")
+    p.add_argument("--nms", choices=("auto", "xla", "pallas", "fixpoint"),
+                   default="auto",
+                   help="NMS backend (identical keep decisions in all; "
+                        "see PostprocessConfig.nms_impl)")
     p.add_argument("--skip_stages", action="store_true",
                    help="skip the isolated stage-breakdown measurements")
     p.add_argument("--wire", choices=("auto", "rgb", "yuv420"), default="auto",
@@ -108,13 +112,13 @@ def main():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
     cfg = get_config(args.config)
-    if args.preselect != "exact":
+    if args.preselect != "exact" or args.nms != "auto":
         import dataclasses
 
         cfg = dataclasses.replace(
             cfg,
             postprocess=dataclasses.replace(
-                cfg.postprocess, preselect=args.preselect
+                cfg.postprocess, preselect=args.preselect, nms_impl=args.nms
             ),
         )
     # Absorb the device server's one-time first-program cost (55-400 s,
@@ -352,6 +356,8 @@ def main():
         # see utils/server_warm.py for the measurements behind this
         "server_warm_s": round(server_warm_s, 1) if server_warm_s else None,
         "wire": wire,
+        "nms": args.nms,
+        "preselect": args.preselect,
         "e2e_host_wait_frac": round(host_wait / dt, 3),
         "note": "e2e bound by single-core host decode + tunneled "
                 "host-to-device link on this box",
