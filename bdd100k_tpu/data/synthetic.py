@@ -91,19 +91,36 @@ def ensure_synthetic_dataset(
     sequential from the seed, so a larger existing set's first N records
     are exactly the N-record set — safe to reuse. Prevents one driver's
     smaller --synthetic run from silently shrinking a dataset another run
-    is using."""
+    is using.
+
+    Multi-process safe: the check-then-generate idempotence races when
+    every host runs it on a shared directory, so under `jax.distributed`
+    only process 0 generates and the rest wait on a barrier."""
     out_dir = Path(out_dir)
     labels_path = out_dir / "labels" / f"{split}.json"
-    if labels_path.exists():
-        try:
-            if len(json.loads(labels_path.read_text())) >= num_images:
-                return labels_path
-        except (ValueError, OSError):
-            pass
-    return generate_synthetic_dataset(
-        out_dir, num_images=num_images, seed=seed,
-        max_objects=max_objects, split=split,
-    )
+
+    def _ensure() -> Path:
+        if labels_path.exists():
+            try:
+                if len(json.loads(labels_path.read_text())) >= num_images:
+                    return labels_path
+            except (ValueError, OSError):
+                pass
+        return generate_synthetic_dataset(
+            out_dir, num_images=num_images, seed=seed,
+            max_objects=max_objects, split=split,
+        )
+
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            _ensure()
+        multihost_utils.sync_global_devices(f"synthetic_ready_{split}")
+        return labels_path
+    return _ensure()
 
 
 def generate_synthetic_dataset(

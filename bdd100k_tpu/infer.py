@@ -321,8 +321,12 @@ def run_dir(args):
         try:
             for b in loader:
                 hq.put(b)
-        finally:
             hq.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            # same failure-propagation discipline as prefetch_to_device: a
+            # mid-sweep decode/IO error must NOT look like clean exhaustion
+            # (the sweep would silently truncate with exit code 0)
+            hq.put(e)
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -343,6 +347,8 @@ def run_dir(args):
         item = hq.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise RuntimeError("image_dir pipeline failed; see cause") from item
         k = min(args.batch_size, len(paths) - start)
         names = [str(p) for p in paths[start : start + k]]
         start += args.batch_size

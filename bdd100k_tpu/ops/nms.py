@@ -242,6 +242,13 @@ def _preselect_candidates(
         # candidate order. Re-sort the k candidates by (score desc, anchor
         # index asc) — top_k's documented tie order — so 'exact' stays
         # bit-identical to the oracle. k-sized sort, not N-sized: cheap.
+        # Remaining caveat: when two anchors with EXACTLY equal scores
+        # straddle the k boundary, PartialReduce may admit a different
+        # member of the tie than top_k would (the re-sort fixes order
+        # within the chosen set, not which tied candidate enters it).
+        # Post-softmax float ties across distinct anchors at the boundary
+        # are measure-zero for real logits; the absolute score of every
+        # returned detection is unaffected either way.
         neg, idx = jax.lax.sort((-top_scores, idx), num_keys=2, dimension=-1)
         top_scores = -neg
     # one flat row-gather instead of take_along_axis over a (B, C, N, 4)

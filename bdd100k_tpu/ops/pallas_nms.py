@@ -19,12 +19,21 @@ TPU-native design (pallas_guide.md):
     (chunk·C, K) tile and the whole batch costs (B/chunk)·K steps instead
     of B·C·K. Grid programs serialize on the TensorCore, so fewer, fatter
     programs win.
-  * the (K, chunk·C, K) IoU tensor is computed once into a VMEM scratch
-    laid out candidate-major, so the loop slices a contiguous (chunk·C, K)
-    plane by leading index — the cheapest dynamic access Mosaic supports.
+  * each greedy step computes its candidate's IoU row INLINE from the box
+    planes (a dozen VPU ops on a (chunk·C, K) tile) instead of reading a
+    precomputed (K, chunk·C, K) suppression tensor from scratch. Round 3
+    change: the old fill-then-read design capped chunk at the scratch's
+    VMEM footprint and paid the whole O(K²·chunk·C) tensor twice in VMEM
+    traffic (write + read); inline recompute costs the same FLOPs as the
+    fill ONCE, needs only the 5 transposed (K, chunk·C) box planes in
+    scratch, and lets the chunk — and with it the per-step VPU occupancy
+    and the number of serialized grid programs — grow ~4×.
+  * box planes are staged TRANSPOSED (candidate-major) in scratch so the
+    loop slices candidate i by leading index — the cheapest dynamic access
+    Mosaic supports (value-side dynamic_slice isn't lowered).
   * the keep-mask update is pure arithmetic (one-hot multiply): no scatter.
   * K pads to the 128-lane multiple; chunk·C pads to the f32 sublane
-    multiple (8); chunk is sized so the scratch stays under ~10 MB of VMEM.
+    multiple (8); chunk is sized to a ~10 MB VMEM working set.
 """
 
 from __future__ import annotations
@@ -46,21 +55,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_chunk(c: int, kp: int) -> int:
-    """Largest image chunk whose (kp, chunk*c, kp) bf16 scratch fits VMEM.
+    """Largest image chunk whose working set fits the VMEM budget.
 
     Bigger chunks directly cut the kernel's sequential cost: grid programs
     serialize on the TensorCore and each runs the same K greedy steps, so
-    B/chunk programs x K steps shrinks linearly in chunk. The suppression
-    mask is stored binarized (exact 0/1) so bf16 loses nothing."""
-    chunk = max(1, _VMEM_BUDGET_BYTES // (kp * kp * 2 * max(c, 1)))
-    return min(chunk, 32)
+    B/chunk programs x K steps shrinks linearly in chunk. Working set per
+    (image*class) row: 5 transposed box planes (5*kp*4 B in scratch),
+    ~8 live (CC, K) f32 loop values (x1..y2, area, keep, row, temps), and
+    6 in/out blocks."""
+    per_cc = (5 + 8 + 6) * kp * 4
+    chunk = max(1, _VMEM_BUDGET_BYTES // (per_cc * max(c, 1)))
+    return min(chunk, 64)
 
 
 def _suppress_kernel(
-    x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, iou_ref, t_ref,
+    x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, t_ref,
     *, iou_threshold: float,
 ):
-    """Refs are (chunk, C, K); iou_ref is (K, chunk*C, K) scratch."""
+    """Refs are (chunk, C, K); t_ref is (5, K, chunk*C) f32 scratch holding
+    the candidate-major transposed box planes + areas."""
     chunk, c, k = x1_ref.shape
     cc = chunk * c
 
@@ -68,54 +81,33 @@ def _suppress_kernel(
         return ref[...].reshape(cc, k)
 
     x1, y1, x2, y2 = flat(x1_ref), flat(y1_ref), flat(x2_ref), flat(y2_ref)
-
-    # Pairwise suppression tensor in (I, CC, J) layout — candidate index I
-    # leads so the greedy loop slices a whole (CC, J) plane per step. IoU is
-    # symmetric, so [i, cc, j] == iou(box_cc_i, box_cc_j) either way.
-    # Filled in I-slabs so only a (TI, CC, K) block is ever live as a value —
-    # the full (K, CC, K) tensor lives ONLY in the scratch ref (materializing
-    # it as a value too would double VMEM and bust the budget).
     a = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (CC, K)
-    # stage candidate-major transposes in scratch so the fill loop can slice
-    # them by REF (dynamic slicing of values isn't lowered by Mosaic)
+    # stage candidate-major transposes in scratch so the greedy loop can
+    # slice candidate i by REF (value-side dynamic_slice isn't lowered)
     t_ref[0] = x1.T
     t_ref[1] = y1.T
     t_ref[2] = x2.T
     t_ref[3] = y2.T
     t_ref[4] = a.T  # each (K, CC)
 
-    ti = _SUBLANE
-
-    def fill(it, carry):
-        s0 = it * ti
-
-        def bi(plane):  # t_ref plane -> (TI, CC, 1): per-candidate-i operand
-            return t_ref[plane, pl.ds(s0, ti)][:, :, None]
-
-        def bj(v):  # (CC, K) -> (1, CC, K): per-candidate-j operand
-            return v[None, :, :]
-
-        ix1 = jnp.maximum(bi(0), bj(x1))
-        iy1 = jnp.maximum(bi(1), bj(y1))
-        ix2 = jnp.minimum(bi(2), bj(x2))
-        iy2 = jnp.minimum(bi(3), bj(y2))
-        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
-        union = bi(4) + bj(a) - inter
-        iou = inter / jnp.maximum(union, 1e-8)
-        # threshold at f32 precision, store the exact 0/1 mask as bf16
-        # (halves the scratch → doubles the image chunk per program)
-        iou_ref[pl.ds(s0, ti)] = jnp.where(
-            iou > iou_threshold, 1.0, 0.0
-        ).astype(jnp.bfloat16)
-        return carry
-
-    jax.lax.fori_loop(0, k // ti, fill, 0)
-
+    # j-side operands, broadcast-ready: (1, CC, K)
+    x1j, y1j, x2j, y2j, aj = (v[None] for v in (x1, y1, x2, y2, a))
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), dimension=1)
 
     def body(i, keep):
-        # suppression plane of candidate i for every (image, class): (CC, K)
-        row = iou_ref[i].astype(jnp.float32)
+        def bi(plane):  # candidate i's value for every cc: (1, CC, 1)
+            return t_ref[plane, pl.ds(i, 1)][:, :, None]
+
+        # IoU row of candidate i vs all j, computed inline (same f32 math
+        # and threshold as the XLA oracle → identical keep decisions)
+        ix1 = jnp.maximum(bi(0), x1j)
+        iy1 = jnp.maximum(bi(1), y1j)
+        ix2 = jnp.minimum(bi(2), x2j)
+        iy2 = jnp.minimum(bi(3), y2j)
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        union = bi(4) + aj - inter
+        iou = (inter / jnp.maximum(union, 1e-8)).reshape(cc, k)
+        row = jnp.where(iou > iou_threshold, 1.0, 0.0)         # (CC, K)
         earlier = (lane_ids < i).astype(jnp.float32)           # (1, K)
         # killed[cc] = ∃ surviving earlier j with overlap: (CC, 1)
         killed = jnp.max(row * earlier * keep, axis=-1, keepdims=True)
@@ -148,10 +140,9 @@ def pallas_greedy_suppress(
     b, c, k, _ = boxes.shape
     kp = _round_up(k, _LANE)
     chunk = _pick_chunk(c, kp)
-    # chunk*c must land on a sublane multiple for clean (CC, K) tiles
-    # chunk*c must land on the bf16 sublane multiple (16) for the mask
-    # scratch's (CC, K) tiles (also satisfies the f32 8-multiple)
-    while chunk > 1 and (chunk * c) % 16:
+    # chunk*c must land on the f32 sublane multiple (8) for clean (CC, K)
+    # tiles
+    while chunk > 1 and (chunk * c) % _SUBLANE:
         chunk -= 1
     bp = _round_up(b, chunk)
     pad = ((0, bp - b), (0, 0), (0, kp - k))
@@ -171,7 +162,6 @@ def pallas_greedy_suppress(
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((bp, c, kp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((kp, chunk * c, kp), jnp.bfloat16),
             pltpu.VMEM((5, kp, chunk * c), jnp.float32),
         ],
         interpret=interpret,

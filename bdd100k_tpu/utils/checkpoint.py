@@ -40,8 +40,12 @@ class CheckpointManager:
         `input_state`: opaque input-iterator state (e.g. grain's native
         iterator checkpoint, SURVEY.md §5.4) written beside the orbax step
         dir — outside it, so orbax's atomic finalize/cleanup is untouched.
-        Only process 0 writes (one-writer convention; the state is already
-        per-run, not per-host, for the single-host grain path)."""
+        The state is PER-HOST (each host's grain loader walks its own
+        shard), so every process writes its own file tagged with its
+        process index and the world size — a shared directory holds one
+        file per host; a host restores only the state matching its own
+        index AND the same world size (a topology change invalidates shard
+        positions, so restore returns None and the caller reshuffles)."""
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -49,19 +53,30 @@ class CheckpointManager:
             "step": np.asarray(state.step),
         }
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
-        if input_state is not None and jax.process_index() == 0:
-            (self.directory / f"input_state_{step}.bin").write_bytes(
+        if input_state is not None:
+            (self.directory / self._input_state_name(step)).write_bytes(
                 input_state
             )
             # prune states for steps orbax has already garbage-collected
             kept = {str(s) for s in self._mgr.all_steps()} | {str(step)}
+            # names: input_state_<step>.bin | input_state_<step>.pIofN.bin
             for p in self.directory.glob("input_state_*.bin"):
-                if p.stem.split("_")[-1] not in kept:
+                if p.stem.split("_")[2].split(".")[0] not in kept:
                     p.unlink(missing_ok=True)
 
+    @staticmethod
+    def _input_state_name(step: int) -> str:
+        if jax.process_count() == 1:
+            return f"input_state_{step}.bin"
+        return (
+            f"input_state_{step}"
+            f".p{jax.process_index()}of{jax.process_count()}.bin"
+        )
+
     def restore_input_state(self, step: int) -> bytes | None:
-        """Input-iterator state saved at `step`, or None."""
-        p = self.directory / f"input_state_{step}.bin"
+        """This host's input-iterator state saved at `step`, or None (also
+        None when the saved world size differs from the current one)."""
+        p = self.directory / self._input_state_name(step)
         return p.read_bytes() if p.exists() else None
 
     def restore_latest(

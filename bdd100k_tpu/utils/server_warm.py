@@ -28,14 +28,18 @@ import time
 class ServerWarm:
     """Handle for the background warm; `join()` before timed phases."""
 
-    def __init__(self, thread: threading.Thread):
+    def __init__(self, thread: threading.Thread | None = None):
         self._thread = thread
         self.seconds: float | None = None  # set when the warm finishes
         self.error: str | None = None
 
     def join(self, timeout: float | None = None) -> "ServerWarm":
-        self._thread.join(timeout)
+        if self._thread is not None:
+            self._thread.join(timeout)
         return self
+
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
 
 
 def start_server_warm(bundle) -> ServerWarm:
@@ -55,9 +59,7 @@ def start_server_warm(bundle) -> ServerWarm:
     # the core; under multi-host the extra per-process program could
     # desynchronize lockstepped workers past collective timeouts.
     if jax.default_backend() == "cpu" or jax.process_count() > 1:
-        t = threading.Thread(target=lambda: None, daemon=True)
-        t.start()
-        handle = ServerWarm(t)
+        handle = ServerWarm()
         handle.seconds = 0.0
         return handle
 
@@ -74,7 +76,7 @@ def start_server_warm(bundle) -> ServerWarm:
             handle.error = f"{type(e).__name__}: {e}"
         handle.seconds = time.monotonic() - t0
 
-    handle = ServerWarm(threading.Thread())
+    handle = ServerWarm()
     handle._thread = threading.Thread(
         target=_warm, args=(handle,), daemon=True
     )

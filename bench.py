@@ -169,7 +169,7 @@ def main():
         n_batches = max(args.images // args.batch_size - 2, 1)
         for _ in range(2):  # pool spin-up + first fills
             next(loader)
-        while warm._thread.is_alive():  # unmeasured spin during the warm
+        while warm.running():  # unmeasured spin during the warm
             next(loader)
             warm.join(timeout=0.05)
         t0, (b0, j0) = time.monotonic(), _sys_busy()

@@ -115,7 +115,8 @@ def mfu_fields(flops_per_img: float | None, imgs_per_sec: float) -> dict:
 
 
 def resident_infer_rate(infer_fn, variables, resident_batch, batch_size: int,
-                        iters: int = 50) -> tuple[float, float]:
+                        iters: int = 50,
+                        compile_only: bool = False) -> tuple[float, float]:
     """Device-resident throughput via ONE dispatched program: a fori_loop
     of `iters` forward+postprocess steps on a resident batch.
 
@@ -145,6 +146,8 @@ def resident_infer_rate(infer_fn, variables, resident_batch, batch_size: int,
     t0 = time.monotonic()
     jax.block_until_ready(looped(variables, resident_batch))  # compile
     compile_s = time.monotonic() - t0
+    if compile_only:  # cache pre-warm: skip the timed measurement pass
+        return 0.0, compile_s
     t0 = time.monotonic()
     jax.block_until_ready(looped(variables, resident_batch))
     dt = time.monotonic() - t0
@@ -212,6 +215,7 @@ class CacheCounters:
         self.hits = 0
         self.requests = 0
         self.programs: dict[str, str] = {}  # name -> "hit"/"miss"
+        self._cleanup = []
 
     def install(self) -> "CacheCounters":
         import logging
@@ -226,6 +230,9 @@ class CacheCounters:
                 self.requests += 1
 
         monitoring.register_event_listener(_on_event)
+        self._cleanup.append(
+            lambda: monitoring.unregister_event_listener(_on_event)
+        )
 
         pat = re.compile(
             r"(?:cache hit|CACHE MISS) for '([^']+)'", re.IGNORECASE
@@ -243,10 +250,23 @@ class CacheCounters:
                     counters.programs[m.group(1)] = kind
 
         logger = logging.getLogger("jax._src.compiler")
-        logger.setLevel(logging.DEBUG)
+        # only lower the level (never raise), and remember the original so
+        # uninstall() restores it — a second install in one process (or a
+        # pytest log-capture consumer) must not accumulate handlers/spam
+        prev_level = logger.level
+        if prev_level == logging.NOTSET or prev_level > logging.DEBUG:
+            logger.setLevel(logging.DEBUG)
+            self._cleanup.append(lambda: logger.setLevel(prev_level))
         h = _Handler(level=logging.DEBUG)
         logger.addHandler(h)
+        self._cleanup.append(lambda: logger.removeHandler(h))
         return self
+
+    def uninstall(self) -> None:
+        """Detach the listener/handler and restore the logger level."""
+        for undo in reversed(self._cleanup):
+            undo()
+        self._cleanup.clear()
 
     @property
     def fields(self) -> dict:

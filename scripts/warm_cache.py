@@ -77,7 +77,8 @@ def main() -> None:
 
     b = max(batch_sizes)
     t0 = time.monotonic()
-    resident_infer_rate(infer_fn, variables, warm_input(b), b)
+    resident_infer_rate(infer_fn, variables, warm_input(b), b,
+                        compile_only=True)
     print(f"warmed resident fori_loop b{b} ({wire}): "
           f"{time.monotonic() - t0:.1f}s", flush=True)
 

@@ -72,3 +72,23 @@ def test_run_dir_batched(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "5 images" in out, out
+
+
+def test_run_dir_propagates_decode_failure(tmp_path):
+    """A corrupt JPEG mid-sweep must raise, not silently truncate the
+    directory sweep with exit code 0 (same failure-propagation discipline
+    as data.pipeline.prefetch_to_device)."""
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rs = np.random.RandomState(2)
+    for i in range(3):
+        cv2.imwrite(
+            str(d / f"im{i}.jpg"),
+            rs.randint(0, 255, (96, 128, 3), np.uint8),
+        )
+    (d / "im1.jpg").write_bytes(b"\xff\xd8 not a real jpeg")
+    with pytest.raises(RuntimeError, match="image_dir pipeline failed"):
+        infer_main([
+            "--config", "ssd_tiny_64", "--image_dir", str(d),
+            "--batch_size", "2",
+        ])

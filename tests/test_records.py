@@ -161,3 +161,27 @@ def test_train_cli_records_dir_resume(synth, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "restored grain iterator state at step 2" in out
     assert "done at step 4" in out
+
+
+def test_checkpoint_input_state_per_host(tmp_path, monkeypatch):
+    """Grain iterator state is PER-HOST (each host walks its own shard):
+    restore must return only this host's file for the same world size —
+    another index's state, or any state from a different process count,
+    must come back None (multi-host resume correctness)."""
+    from bdd100k_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    (tmp_path / "ckpt" / "input_state_3.p0of2.bin").write_bytes(b"h0")
+    (tmp_path / "ckpt" / "input_state_3.p1of2.bin").write_bytes(b"h1")
+
+    import bdd100k_tpu.utils.checkpoint as ck
+
+    monkeypatch.setattr(ck.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(ck.jax, "process_index", lambda: 1)
+    assert mgr.restore_input_state(3) == b"h1"
+    monkeypatch.setattr(ck.jax, "process_index", lambda: 0)
+    assert mgr.restore_input_state(3) == b"h0"
+    # a topology change invalidates shard positions -> reshuffle, not reuse
+    monkeypatch.setattr(ck.jax, "process_count", lambda: 4)
+    assert mgr.restore_input_state(3) is None
+    mgr.close()
