@@ -20,14 +20,21 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
-@pytest.mark.parametrize("config", ["yolo_tiny_64", "ssd_tiny_64"])
-def test_evaluate_cli_synthetic(config, tmp_path):
+@pytest.mark.parametrize(
+    "config,nms",
+    [
+        ("yolo_tiny_64", "auto"),
+        ("ssd_tiny_64", "auto"),
+        ("ssd_tiny_64", "fixpoint"),
+    ],
+)
+def test_evaluate_cli_synthetic(config, nms, tmp_path):
     from bdd100k_tpu import evaluate as eval_mod
 
     result = eval_mod.main([
         "--config", config, "--synthetic", "8",
         "--synthetic_dir", str(tmp_path / "synth"),
-        "--batch_size", "8", "--max_boxes", "16",
+        "--batch_size", "8", "--max_boxes", "16", "--nms", nms,
         "--out", str(tmp_path / "result.json"),
     ])
     assert 0.0 <= result["mAP"] <= 1.0
