@@ -44,6 +44,10 @@ class DetectorConfig:
     # anchor↔GT matcher backend: "auto" → fused Pallas kernel on TPU,
     # XLA elsewhere; "xla" | "pallas" force one (identical outputs).
     matcher_impl: str = "auto"
+    # inference quantization: "none" | "int8" (post-training dynamic int8
+    # for dense convs — rides the v5e int8 MXU at 2× the bf16 peak;
+    # checkpoints are interchangeable, see models/layers.py QuantConv)
+    quant: str = "none"
 
     @property
     def num_anchors(self) -> int:

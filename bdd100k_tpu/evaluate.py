@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--nms", choices=("auto", "xla", "pallas", "fixpoint"),
                    default="auto",
                    help="NMS backend (identical keep decisions in all)")
+    p.add_argument("--quant", choices=("none", "int8"), default="none",
+                   help="post-training dynamic int8 for dense convs "
+                        "(v5e int8 MXU; same checkpoint, report the mAP "
+                        "delta vs none)")
     p.add_argument("--preselect", choices=("exact", "approx"), default="exact",
                    help="per-class candidate preselect: exact top-k or the "
                         "faster TPU approx_max_k (~0.95 candidate recall)")
@@ -207,11 +211,12 @@ def main(argv=None):
             )
         jax.distributed.initialize(**kw)
     det_cfg = get_config(args.config)
-    if args.nms != "auto" or args.preselect != "exact":
+    if args.nms != "auto" or args.preselect != "exact" or args.quant != "none":
         import dataclasses
 
         det_cfg = dataclasses.replace(
             det_cfg,
+            quant=args.quant,
             postprocess=dataclasses.replace(
                 det_cfg.postprocess, nms_impl=args.nms,
                 preselect=args.preselect,

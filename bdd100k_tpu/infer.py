@@ -62,6 +62,8 @@ def parse_args(argv=None):
     p.add_argument("--nms", choices=("auto", "xla", "pallas", "fixpoint"),
                    default="auto",
                    help="NMS backend (identical keep decisions in all)")
+    p.add_argument("--quant", choices=("none", "int8"), default="none",
+                   help="post-training dynamic int8 for dense convs")
     return p.parse_args(argv)
 
 
@@ -169,13 +171,16 @@ class Predictor:
 def load_predictor(args, batch_size: int,
                    host_resize: bool = False) -> Predictor:
     det_cfg = get_config(args.config)
-    if getattr(args, "nms", "auto") != "auto":
+    nms = getattr(args, "nms", "auto")
+    quant = getattr(args, "quant", "none")
+    if nms != "auto" or quant != "none":
         import dataclasses
 
         det_cfg = dataclasses.replace(
             det_cfg,
+            quant=quant,
             postprocess=dataclasses.replace(
-                det_cfg.postprocess, nms_impl=args.nms
+                det_cfg.postprocess, nms_impl=nms
             ),
         )
     bundle = build_detector(det_cfg)

@@ -57,9 +57,11 @@ class DetectorBundle:
 
 def _build_backbone(config: DetectorConfig, dtype):
     if config.backbone == "mobilenet":
-        return MobileNetBackbone(width=config.width, dtype=dtype)
+        return MobileNetBackbone(
+            width=config.width, dtype=dtype, quant=config.quant
+        )
     if config.backbone == "vgg16":
-        return VGG16Backbone(dtype=dtype)
+        return VGG16Backbone(dtype=dtype, quant=config.quant)
     raise ValueError(f"unknown backbone {config.backbone!r}")
 
 
@@ -74,6 +76,7 @@ def build_detector(
             feature_maps=config.feature_maps,
             num_classes=config.num_classes,
             dtype=dtype,
+            quant=config.quant,
         )
         anchors = anchor_ops.ssd_anchors(config.feature_maps)
         cell_sizes = None
@@ -83,6 +86,7 @@ def build_detector(
             priors_per_scale=tuple(len(p) for p in config.yolo_priors),
             num_classes=config.num_classes,
             dtype=dtype,
+            quant=config.quant,
         )
         anchors = anchor_ops.yolo_anchors(config.yolo_grids, config.yolo_priors)
         cell_sizes = anchor_ops.yolo_cell_sizes(

@@ -2,6 +2,14 @@
 
 All modules take a `dtype` (compute dtype, default bfloat16 — the MXU-native
 type) and keep params in fp32. BatchNorm runs in fp32 for stable statistics.
+
+Modules also take a `quant` mode ("none" | "int8"). "int8" swaps dense
+(groups == 1) convs for :class:`QuantConv` — post-training dynamic int8
+quantization that rides the v5e's int8 MXU path (2× the bf16 peak).
+Param trees are IDENTICAL either way, so any f32/bf16 checkpoint loads
+unchanged into a quantized model. Depthwise convs stay in bf16: they are
+VPU-bound, so int8 buys nothing there, and they are the most
+quantization-sensitive layers in MobileNet-style nets.
 """
 
 from __future__ import annotations
@@ -9,7 +17,116 @@ from __future__ import annotations
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class QuantConv(nn.Module):
+    """Dynamically-quantized int8 conv, checkpoint-compatible with nn.Conv.
+
+    Post-training quantization, no calibration pass needed: weights get a
+    per-OUTPUT-CHANNEL symmetric int8 scale computed from the f32 params at
+    call time (tiny vs the conv itself, and shared across a resident-loop
+    iteration by XLA CSE within one step); activations get a per-tensor
+    dynamic scale from the batch's amax (one fused reduce over an array the
+    producer already wrote). The conv itself runs int8×int8→int32 on the
+    MXU (v5e int8 peak = 2× bf16), then dequantizes into `dtype`.
+
+    Params are stored exactly like nn.Conv ("kernel" (H, W, I, O) f32,
+    "bias" (O,)) so trained f32/bf16 checkpoints restore unchanged.
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    kernel_dilation: tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_ch, self.features),
+            jnp.float32,
+        )
+        # symmetric per-output-channel weight quant
+        w_amax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))        # (O,)
+        w_scale = jnp.maximum(w_amax, 1e-12) / 127.0
+        w_q = jnp.clip(
+            jnp.round(kernel / w_scale), -127, 127
+        ).astype(jnp.int8)
+        # dynamic per-tensor activation quant
+        xf = x.astype(jnp.float32)
+        a_amax = jnp.max(jnp.abs(xf))
+        a_scale = jnp.maximum(a_amax, 1e-12) / 127.0
+        x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+
+        out = jax.lax.conv_general_dilated(
+            x_q,
+            w_q,
+            window_strides=self.strides,
+            padding=self.padding,
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        out = out.astype(jnp.float32) * (a_scale * w_scale)       # (.., O)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            out = out + bias
+        return out.astype(self.dtype)
+
+
+def conv2d(
+    quant: str,
+    features: int,
+    kernel_size: tuple[int, int],
+    *,
+    strides: tuple[int, int] = (1, 1),
+    padding: str = "SAME",
+    kernel_dilation: tuple[int, int] = (1, 1),
+    feature_group_count: int = 1,
+    use_bias: bool = True,
+    dtype: jnp.dtype = jnp.bfloat16,
+    name: str | None = None,
+) -> nn.Module:
+    """nn.Conv, or its int8 drop-in when `quant == "int8"` (same params).
+
+    Grouped/depthwise convs always stay nn.Conv: they're VPU-bound (int8
+    gains nothing) and the most quantization-sensitive layers.
+    """
+    if quant == "int8" and feature_group_count == 1:
+        return QuantConv(
+            features=features,
+            kernel_size=kernel_size,
+            strides=strides,
+            padding=padding,
+            kernel_dilation=kernel_dilation,
+            use_bias=use_bias,
+            dtype=dtype,
+            name=name,
+        )
+    if quant not in ("none", "int8"):
+        raise ValueError(f"unknown quant mode {quant!r}")
+    return nn.Conv(
+        features,
+        kernel_size,
+        strides=strides,
+        padding=padding,
+        kernel_dilation=kernel_dilation,
+        feature_group_count=feature_group_count,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
 
 
 class ConvBN(nn.Module):
@@ -22,10 +139,12 @@ class ConvBN(nn.Module):
     groups: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     act: Callable = nn.relu6
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
+        x = conv2d(
+            self.quant,
             self.features,
             self.kernel,
             strides=self.strides,
@@ -33,7 +152,7 @@ class ConvBN(nn.Module):
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
+            name="Conv_0",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
@@ -50,20 +169,24 @@ class DepthwiseSeparable(nn.Module):
     features: int
     strides: tuple[int, int] = (1, 1)
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
+        # dw conv always stays bf16 (conv2d quantizes only groups == 1)
         x = ConvBN(
             in_ch,
             kernel=(3, 3),
             strides=self.strides,
             groups=in_ch,
             dtype=self.dtype,
+            quant=self.quant,
             name="dw",
         )(x, train)
         return ConvBN(
-            self.features, kernel=(1, 1), dtype=self.dtype, name="pw"
+            self.features, kernel=(1, 1), dtype=self.dtype,
+            quant=self.quant, name="pw",
         )(x, train)
 
 
@@ -91,16 +214,17 @@ class VGGConvBlock(nn.Module):
     features: int
     num_convs: int
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_convs):
-            x = nn.Conv(
+            x = conv2d(
+                self.quant,
                 self.features,
                 (3, 3),
                 padding="SAME",
                 dtype=self.dtype,
-                param_dtype=jnp.float32,
                 name=f"conv{i + 1}",
             )(x)
             x = nn.relu(x)

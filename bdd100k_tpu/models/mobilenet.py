@@ -24,24 +24,34 @@ class MobileNetBackbone(nn.Module):
 
     width: float = 1.0
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         w = lambda ch: _w(ch, self.width)
-        x = ConvBN(w(32), strides=(2, 2), dtype=self.dtype, name="stem")(x, train)
-        x = DepthwiseSeparable(w(64), dtype=self.dtype, name="ds1")(x, train)
-        x = DepthwiseSeparable(w(128), (2, 2), self.dtype, name="ds2")(x, train)
-        x = DepthwiseSeparable(w(128), dtype=self.dtype, name="ds3")(x, train)
-        x = DepthwiseSeparable(w(256), (2, 2), self.dtype, name="ds4")(x, train)
-        x = DepthwiseSeparable(w(256), dtype=self.dtype, name="ds5")(x, train)
+        q = self.quant
+        # the stem always stays bf16: first-layer precision is the cheapest
+        # accuracy insurance in PTQ (its FLOPs are negligible anyway)
+        x = ConvBN(w(32), strides=(2, 2), dtype=self.dtype,
+                   name="stem")(x, train)
+        x = DepthwiseSeparable(w(64), dtype=self.dtype, quant=q,
+                               name="ds1")(x, train)
+        x = DepthwiseSeparable(w(128), (2, 2), self.dtype, q, name="ds2")(x, train)
+        x = DepthwiseSeparable(w(128), dtype=self.dtype, quant=q,
+                               name="ds3")(x, train)
+        x = DepthwiseSeparable(w(256), (2, 2), self.dtype, q, name="ds4")(x, train)
+        x = DepthwiseSeparable(w(256), dtype=self.dtype, quant=q,
+                               name="ds5")(x, train)
         tap8 = x  # stride 8
-        x = DepthwiseSeparable(w(512), (2, 2), self.dtype, name="ds6")(x, train)
+        x = DepthwiseSeparable(w(512), (2, 2), self.dtype, q, name="ds6")(x, train)
         for i in range(5):
             x = DepthwiseSeparable(
-                w(512), dtype=self.dtype, name=f"ds{7 + i}"
+                w(512), dtype=self.dtype, quant=q, name=f"ds{7 + i}"
             )(x, train)
         tap16 = x  # stride 16
-        x = DepthwiseSeparable(w(1024), (2, 2), self.dtype, name="ds12")(x, train)
-        x = DepthwiseSeparable(w(1024), dtype=self.dtype, name="ds13")(x, train)
+        x = DepthwiseSeparable(w(1024), (2, 2), self.dtype, q,
+                               name="ds12")(x, train)
+        x = DepthwiseSeparable(w(1024), dtype=self.dtype, quant=q,
+                               name="ds13")(x, train)
         tap32 = x  # stride 32
         return [tap8, tap16, tap32]

@@ -57,20 +57,22 @@ class ExtraFeatureStage(nn.Module):
     out: int
     target_size: int
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cur = x.shape[1]
-        x = ConvBN(self.mid, kernel=(1, 1), dtype=self.dtype, name="squeeze")(
-            x, train
-        )
+        x = ConvBN(self.mid, kernel=(1, 1), dtype=self.dtype,
+                   quant=self.quant, name="squeeze")(x, train)
         if self.target_size == -(-cur // 2):  # halve: 3×3 s2 SAME
             return ConvBN(
-                self.out, strides=(2, 2), dtype=self.dtype, name="down"
+                self.out, strides=(2, 2), dtype=self.dtype,
+                quant=self.quant, name="down",
             )(x, train)
         if self.target_size == cur - 2:  # e.g. 3→1: 3×3 VALID s1
             return ConvBN(
-                self.out, padding="VALID", dtype=self.dtype, name="down"
+                self.out, padding="VALID", dtype=self.dtype,
+                quant=self.quant, name="down",
             )(x, train)
         raise ValueError(
             f"can't reach map size {self.target_size} from {cur}"
@@ -88,6 +90,10 @@ class SSDDetector(nn.Module):
     feature_maps: Sequence[FeatureMapSpec]
     num_classes: int = 10
     dtype: jnp.dtype = jnp.bfloat16
+    # "int8" quantizes backbone + extra-stage convs; the loc/conf
+    # prediction heads always stay bf16 (first/last-layer precision is the
+    # cheapest accuracy insurance in PTQ, and head FLOPs are small)
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, images, train: bool = False):
@@ -104,7 +110,8 @@ class SSDDetector(nn.Module):
             mid = 256 if i == 0 else 128
             out = 512 if i == 0 else 256
             x = ExtraFeatureStage(
-                mid, out, fm.size, self.dtype, name=f"extra{i + 1}"
+                mid, out, fm.size, self.dtype, self.quant,
+                name=f"extra{i + 1}",
             )(x, train)
             feats.append(x)
 

@@ -11,45 +11,48 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from bdd100k_tpu.models.layers import L2Norm, VGGConvBlock
+from bdd100k_tpu.models.layers import L2Norm, VGGConvBlock, conv2d
 
 
 class VGG16Backbone(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pool = lambda y: nn.max_pool(
             y, (2, 2), strides=(2, 2), padding="SAME"
         )
+        q = self.quant
+        # block1 always stays bf16 (first-layer precision, cheap FLOPs)
         x = VGGConvBlock(64, 2, self.dtype, name="block1")(x)
         x = pool(x)
-        x = VGGConvBlock(128, 2, self.dtype, name="block2")(x)
+        x = VGGConvBlock(128, 2, self.dtype, q, name="block2")(x)
         x = pool(x)
-        x = VGGConvBlock(256, 3, self.dtype, name="block3")(x)
+        x = VGGConvBlock(256, 3, self.dtype, q, name="block3")(x)
         x = pool(x)
-        x = VGGConvBlock(512, 3, self.dtype, name="block4")(x)
+        x = VGGConvBlock(512, 3, self.dtype, q, name="block4")(x)
         tap8 = L2Norm(name="conv4_3_norm")(x)  # stride 8, L2-normalized
         x = pool(x)
-        x = VGGConvBlock(512, 3, self.dtype, name="block5")(x)
+        x = VGGConvBlock(512, 3, self.dtype, q, name="block5")(x)
         # SSD's pool5: 3×3 stride 1 (keeps stride 16)
         x = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
         # fc6 → dilated 3×3 conv, fc7 → 1×1 conv (SSD §3 "à trous")
-        x = nn.Conv(
+        x = conv2d(
+            q,
             1024,
             (3, 3),
             kernel_dilation=(6, 6),
             padding="SAME",
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="fc6",
         )(x)
         x = nn.relu(x)
-        x = nn.Conv(
+        x = conv2d(
+            q,
             1024,
             (1, 1),
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="fc7",
         )(x)
         tap16 = nn.relu(x)  # stride 16

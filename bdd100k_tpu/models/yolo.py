@@ -23,11 +23,14 @@ class YOLOHead(nn.Module):
     num_classes: int
     mid_channels: int = 256
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
-        x = ConvBN(self.mid_channels, dtype=self.dtype, name="conv")(x, train)
+        # mid conv quantizes; the final prediction conv stays bf16
+        x = ConvBN(self.mid_channels, dtype=self.dtype, quant=self.quant,
+                   name="conv")(x, train)
         out = nn.Conv(
             self.num_priors * (5 + self.num_classes),
             (1, 1),
@@ -47,6 +50,7 @@ class YOLODetector(nn.Module):
     priors_per_scale: Sequence[int]
     num_classes: int = 10
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, images, train: bool = False):
@@ -58,7 +62,8 @@ class YOLODetector(nn.Module):
         locs, objs = [], []
         for i, (tap, k) in enumerate(zip(taps, self.priors_per_scale)):
             loc, obj_cls = YOLOHead(
-                k, self.num_classes, dtype=self.dtype, name=f"head{i}"
+                k, self.num_classes, dtype=self.dtype, quant=self.quant,
+                name=f"head{i}",
             )(tap, train)
             locs.append(loc)
             objs.append(obj_cls)

@@ -81,6 +81,9 @@ def main():
                    default="auto",
                    help="NMS backend (identical keep decisions in all; "
                         "see PostprocessConfig.nms_impl)")
+    p.add_argument("--quant", choices=("none", "int8"), default="none",
+                   help="post-training dynamic int8 for dense convs "
+                        "(v5e int8 MXU path)")
     p.add_argument("--skip_stages", action="store_true",
                    help="skip the isolated stage-breakdown measurements")
     p.add_argument("--wire", choices=("auto", "rgb", "yuv420"), default="auto",
@@ -112,11 +115,12 @@ def main():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
     cfg = get_config(args.config)
-    if args.preselect != "exact" or args.nms != "auto":
+    if args.preselect != "exact" or args.nms != "auto" or args.quant != "none":
         import dataclasses
 
         cfg = dataclasses.replace(
             cfg,
+            quant=args.quant,
             postprocess=dataclasses.replace(
                 cfg.postprocess, preselect=args.preselect, nms_impl=args.nms
             ),
@@ -358,6 +362,7 @@ def main():
         "wire": wire,
         "nms": args.nms,
         "preselect": args.preselect,
+        "quant": args.quant,
         "e2e_host_wait_frac": round(host_wait / dt, 3),
         "note": "e2e bound by single-core host decode + tunneled "
                 "host-to-device link on this box",

@@ -1,0 +1,92 @@
+"""int8 post-training quantization path (models/layers.py QuantConv).
+
+Contract: (1) param trees are IDENTICAL to the f32 model, so any trained
+checkpoint restores unchanged into a quantized model; (2) QuantConv output
+tracks nn.Conv within dynamic-int8 tolerance; (3) the full detector runs
+end-to-end quantized and produces detections close to the f32 model's.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bdd100k_tpu.configs.detector_configs import tiny_test_config
+from bdd100k_tpu.models.detector import build_detector
+from bdd100k_tpu.models.layers import QuantConv
+
+import flax.linen as nn
+
+
+def test_quantconv_matches_conv_params_and_output():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 8), jnp.float32)
+    ref = nn.Conv(12, (3, 3), padding="SAME", dtype=jnp.float32,
+                  param_dtype=jnp.float32)
+    qc = QuantConv(features=12, kernel_size=(3, 3), dtype=jnp.float32)
+    vr = ref.init(rng, x)
+    vq = qc.init(rng, x)
+    # identical param structure AND identical initial values (same init fns)
+    assert jax.tree.structure(vr) == jax.tree.structure(vq)
+    for a, b in zip(jax.tree.leaves(vr), jax.tree.leaves(vq)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out_r = ref.apply(vr, x)
+    out_q = qc.apply(vr, x)  # f32 params into the quantized module
+    # dynamic int8: ~1% relative error on well-scaled activations
+    err = jnp.linalg.norm(out_q - out_r) / jnp.linalg.norm(out_r)
+    assert float(err) < 0.02, float(err)
+
+
+def test_quantconv_dilation_and_stride_shapes():
+    x = jnp.ones((1, 32, 32, 4))
+    v = QuantConv(features=8, kernel_size=(3, 3), kernel_dilation=(6, 6),
+                  ).init(jax.random.PRNGKey(0), x)
+    out = QuantConv(features=8, kernel_size=(3, 3),
+                    kernel_dilation=(6, 6)).apply(v, x)
+    assert out.shape == (1, 32, 32, 8)
+    out = QuantConv(features=8, kernel_size=(3, 3),
+                    strides=(2, 2)).apply(v, x)
+    assert out.shape == (1, 16, 16, 8)
+
+
+@pytest.mark.parametrize("head", ["ssd", "yolo"])
+def test_quantized_detector_checkpoint_compatible(head):
+    """quant='int8' must not change the param tree (checkpoints
+    interchangeable) and must produce detections close to f32's."""
+    cfg = tiny_test_config(head)
+    cfg_q = dataclasses.replace(cfg, quant="int8")
+    bundle = build_detector(cfg, dtype=jnp.float32)
+    bundle_q = build_detector(cfg_q, dtype=jnp.float32)
+
+    rng = jax.random.PRNGKey(0)
+    s = cfg.image_size
+    img = jax.random.randint(
+        jax.random.PRNGKey(2), (2, s, s, 3), 0, 255, jnp.int32
+    ).astype(jnp.uint8)
+    x = img.astype(jnp.float32) / 255.0
+    vars_f = bundle.model.init(rng, x, train=False)
+    vars_q = bundle_q.model.init(rng, x, train=False)
+    assert jax.tree.structure(vars_f) == jax.tree.structure(vars_q)
+
+    loc_f, cls_f = bundle.model.apply(vars_f, x, train=False)
+    loc_q, cls_q = bundle_q.model.apply(vars_f, x, train=False)  # same params
+    assert loc_q.shape == loc_f.shape and cls_q.shape == cls_f.shape
+    # random-init logits through few layers: int8 tracks f32 closely
+    rel = float(
+        jnp.linalg.norm(cls_q - cls_f) / (jnp.linalg.norm(cls_f) + 1e-9)
+    )
+    assert rel < 0.1, rel
+
+
+def test_quantized_eval_cli(tmp_path):
+    from bdd100k_tpu import evaluate as eval_mod
+
+    result = eval_mod.main([
+        "--config", "ssd_tiny_64", "--synthetic", "8",
+        "--synthetic_dir", str(tmp_path / "synth"),
+        "--batch_size", "8", "--max_boxes", "16", "--quant", "int8",
+    ])
+    assert 0.0 <= result["mAP"] <= 1.0
+    assert result["num_images"] == 8
