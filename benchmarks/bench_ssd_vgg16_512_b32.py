@@ -42,6 +42,10 @@ def main():
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--resident_iters", type=int, default=20)
+    p.add_argument("--quant", choices=("none", "int8"), default="none",
+                   help="post-training dynamic int8 for dense convs "
+                        "(v5e int8 MXU = 2x the bf16 peak; VGG16 is the "
+                        "MXU-bound model, so this is where int8 pays)")
     args = p.parse_args()
 
     import jax
@@ -60,7 +64,12 @@ def main():
 
     wire = resolve_wire(dataset=dataset)
     log(f"wire format: {wire}")
-    bundle = build_detector(get_config("ssd_vgg16_512"))
+    cfg = get_config("ssd_vgg16_512")
+    if args.quant != "none":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, quant=args.quant)
+    bundle = build_detector(cfg)
     # absorb the device server's one-time first-program setup in the
     # background (utils/server_warm.py); joined implicitly by the first
     # real dispatch, overlapped with data/init setup meanwhile
@@ -122,6 +131,7 @@ def main():
         "images/sec/chip",
         vs_baseline=(n / dt) / TARGET_IMGS_PER_SEC_PER_CHIP,
         wire=wire,
+        quant=args.quant,
         device_resident_imgs_per_sec=round(device_only, 1),
         device_resident_batch=args.batch_size,
         **mfu,
