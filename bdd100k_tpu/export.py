@@ -1,0 +1,139 @@
+"""Serialized serving artifacts via jax.export (StableHLO).
+
+The reference's deployment story is a frozen TF1 graph; the TPU-native
+equivalent is a `jax.export` artifact: ONE self-contained file holding the
+whole inference program — device preprocess → backbone → heads → fused
+decode/score/NMS — with the checkpoint's params baked in as constants.
+A server loads it with `load()` and calls it on uint8 image batches; no
+model code, config, or checkpoint plumbing needed at serving time.
+
+Multi-platform: pass `--platforms tpu,cpu` to emit an artifact that runs
+on either backend. That path forces `nms_impl="fixpoint"` (pure XLA —
+see ops/nms.py) because Mosaic kernels lower to TPU-only custom calls.
+
+CLI:
+    python -m bdd100k_tpu.export --config ssd_mobilenet_300 \
+        --ckpt_dir /ckpts/run1 --out model.jaxexp --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from pathlib import Path
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="ssd_mobilenet_300")
+    p.add_argument("--ckpt_dir", default=None,
+                   help="checkpoint to bake in (fresh init if omitted)")
+    p.add_argument("--out", required=True, help="output artifact path")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--score_threshold", type=float, default=None,
+                   help="override the config's postprocess threshold")
+    p.add_argument("--nms", choices=("auto", "xla", "pallas", "fixpoint"),
+                   default="auto")
+    p.add_argument("--quant", choices=("none", "int8"), default="none")
+    p.add_argument("--platforms", default=None,
+                   help="comma list, e.g. 'tpu,cpu' for a multi-platform "
+                        "artifact (forces --nms fixpoint); default: the "
+                        "current backend only")
+    return p.parse_args(argv)
+
+
+def build_serving_fn(bundle, variables):
+    """uint8 (B, S, S, 3) images → Detections, params closed over."""
+    import jax.numpy as jnp
+
+    from bdd100k_tpu.data.augment import preprocess_eval_batch
+
+    def serve(images_u8):
+        images = preprocess_eval_batch(images_u8, bundle.config.image_size)
+        loc, cls = bundle.model.apply(variables, images, train=False)
+        det = bundle.postprocess(loc, cls)
+        return {
+            "boxes": det.boxes,
+            "scores": det.scores,
+            "classes": det.classes,
+            "valid": det.valid,
+        }
+
+    return serve
+
+
+def export_model(args) -> Path:
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from bdd100k_tpu.configs import TrainConfig, get_config
+    from bdd100k_tpu.models.detector import build_detector
+    from bdd100k_tpu.parallel.train_step import create_train_state
+    from bdd100k_tpu.utils.checkpoint import CheckpointManager
+
+    platforms = (
+        [s.strip() for s in args.platforms.split(",")]
+        if args.platforms
+        else None
+    )
+    nms = args.nms
+    if platforms and len(platforms) > 1 and nms in ("auto", "pallas"):
+        # Mosaic custom calls are TPU-only; multi-platform needs pure XLA
+        nms = "fixpoint"
+
+    cfg = get_config(args.config)
+    pp = cfg.postprocess
+    if nms != "auto":
+        pp = dataclasses.replace(pp, nms_impl=nms)
+    if args.score_threshold is not None:
+        pp = dataclasses.replace(pp, score_threshold=args.score_threshold)
+    cfg = dataclasses.replace(cfg, quant=args.quant, postprocess=pp)
+
+    bundle = build_detector(cfg)
+    state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
+    step = 0
+    if args.ckpt_dir:
+        state, step = CheckpointManager(args.ckpt_dir).restore_latest(
+            state, params_only=True
+        )
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    # materialize on host so the params bake into the module as constants
+    variables = jax.device_get(variables)
+
+    serve = build_serving_fn(bundle, variables)
+    s = cfg.image_size
+    spec = jax.ShapeDtypeStruct((args.batch_size, s, s, 3), jnp.uint8)
+    kw = {"platforms": platforms} if platforms else {}
+    exported = jexport.export(jax.jit(serve), **kw)(spec)
+    blob = exported.serialize()
+    out = Path(args.out)
+    out.write_bytes(blob)
+    print(
+        f"exported {cfg.name} step={step} batch={args.batch_size} "
+        f"nms={nms} quant={args.quant} "
+        f"platforms={platforms or [jax.default_backend()]} "
+        f"-> {out} ({len(blob) / 1e6:.1f} MB)"
+    )
+    return out
+
+
+def load(path: str | Path):
+    """Load a serving artifact; returns `fn(images_u8) -> dict` of
+    {boxes, scores, classes, valid} arrays (fixed slots, validity-masked).
+    """
+    import jax
+    from jax import export as jexport
+
+    exported = jexport.deserialize(Path(path).read_bytes())
+    return jax.jit(exported.call)
+
+
+def main(argv=None):
+    return export_model(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""jax.export serving artifacts (bdd100k_tpu/export.py): the serialized
+program must reproduce the live model's detections exactly and be loadable
+without model code or checkpoint plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bdd100k_tpu import export as export_mod
+
+
+def test_export_roundtrip_matches_live_model(tmp_path):
+    out = tmp_path / "tiny.jaxexp"
+    export_mod.main([
+        "--config", "ssd_tiny_64", "--out", str(out), "--batch_size", "2",
+        "--nms", "fixpoint",
+    ])
+    assert out.exists() and out.stat().st_size > 1000
+
+    serve = export_mod.load(out)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3), np.uint8))
+    det = serve(imgs)
+    assert det["boxes"].shape[0] == 2
+    assert det["valid"].dtype == jnp.bool_
+
+    # live model with the same (fresh-init, seed-0) params and config
+    import dataclasses
+
+    from bdd100k_tpu.configs import TrainConfig
+    from bdd100k_tpu.configs.detector_configs import tiny_test_config
+    from bdd100k_tpu.models.detector import build_detector
+    from bdd100k_tpu.parallel.train_step import create_train_state
+
+    cfg = tiny_test_config("ssd")
+    cfg = dataclasses.replace(
+        cfg, postprocess=dataclasses.replace(
+            cfg.postprocess, nms_impl="fixpoint"
+        )
+    )
+    bundle = build_detector(cfg)
+    state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
+    live = export_mod.build_serving_fn(
+        bundle,
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)},
+    )
+    ref = jax.jit(live)(imgs)
+    np.testing.assert_array_equal(
+        np.asarray(ref["valid"]), np.asarray(det["valid"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["scores"]), np.asarray(det["scores"]), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref["classes"]), np.asarray(det["classes"])
+    )
