@@ -90,3 +90,22 @@ def test_quantized_eval_cli(tmp_path):
     ])
     assert 0.0 <= result["mAP"] <= 1.0
     assert result["num_images"] == 8
+
+
+def test_quantized_vgg16_backbone_tracks_f32():
+    """VGG16 is the int8 target (MXU-bound); its quant path — plain conv
+    blocks + the dilated fc6 — must keep the param tree and track f32."""
+    from bdd100k_tpu.models.vgg import VGG16Backbone
+
+    bb_f = VGG16Backbone(dtype=jnp.float32)
+    bb_q = VGG16Backbone(dtype=jnp.float32, quant="int8")
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3), jnp.float32)
+    vf = bb_f.init(jax.random.PRNGKey(0), x)
+    vq = bb_q.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(vf) == jax.tree.structure(vq)
+    taps_f = bb_f.apply(vf, x)
+    taps_q = bb_q.apply(vf, x)
+    for tf_, tq in zip(taps_f, taps_q):
+        assert tf_.shape == tq.shape
+        rel = float(jnp.linalg.norm(tq - tf_) / (jnp.linalg.norm(tf_) + 1e-9))
+        assert rel < 0.15, rel
