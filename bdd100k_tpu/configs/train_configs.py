@@ -19,6 +19,10 @@ class TrainConfig:
     warmup_steps: int = 500
     total_steps: int = 120_000
     grad_clip_norm: float = 10.0
+    # Exponential moving average of params (TF1-era detectors evaluated the
+    # tf.train.ExponentialMovingAverage shadow variables; same semantics
+    # here, incl. the (1+step)/(10+step) warmup ramp). 0 disables.
+    ema_decay: float = 0.0
     checkpoint_every: int = 1000
     keep_checkpoints: int = 5
     log_every: int = 50

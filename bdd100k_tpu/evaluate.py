@@ -43,7 +43,18 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_boxes", type=int, default=100)
     p.add_argument("--ckpt_dir", default=None, help="restore latest ckpt")
+    p.add_argument("--ema", action="store_true",
+                   help="evaluate the checkpoint's EMA shadow weights "
+                        "(runs trained with --ema_decay)")
     p.add_argument("--iou_threshold", type=float, default=0.5)
+    p.add_argument("--coco_map", action="store_true",
+                   help="also report COCO-style mAP@[.50:.05:.95] (matching "
+                        "redone per threshold on the accumulated host "
+                        "arrays; the device pass runs once)")
+    p.add_argument("--dump_detections", default=None,
+                   help="write all detections as BDD100K-format JSON "
+                        "(name/category/box2d in source pixels + score) — "
+                        "the reference-era submission/visualization file")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--out", default=None, help="write results JSON here")
     p.add_argument("--mesh_data", type=int, default=None)
@@ -75,6 +86,29 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _dump_image(dataset, idx: int, det, row: int) -> dict:
+    """One image's detections in the BDD100K labels format (SURVEY.md §2.1
+    field names): normalized corner boxes → source-resolution pixels."""
+    w, h = dataset.image_width, dataset.image_height
+    labels = []
+    for box, score, cls, ok in zip(
+        det.boxes[row], det.scores[row], det.classes[row], det.valid[row]
+    ):
+        if not ok:
+            continue
+        labels.append({
+            "category": BDD100K_CLASSES[int(cls) - 1],
+            "score": round(float(score), 4),
+            "box2d": {
+                "x1": round(float(box[0]) * w, 2),
+                "y1": round(float(box[1]) * h, 2),
+                "x2": round(float(box[2]) * w, 2),
+                "y2": round(float(box[3]) * h, 2),
+            },
+        })
+    return {"name": dataset.records[idx]["name"], "labels": labels}
+
+
 def run_eval(bundle, state, dataset, args, mesh, compute: bool = True):
     """Evaluate `dataset`; returns the result dict, or the loaded
     DetectionEvaluator when `compute=False` (multi-host shard mode)."""
@@ -94,6 +128,7 @@ def run_eval(bundle, state, dataset, args, mesh, compute: bool = True):
     )
     n_images = len(dataset)
     seen = 0
+    dump = [] if getattr(args, "dump_detections", None) else None
 
     def accumulate(det, host):
         nonlocal seen
@@ -107,6 +142,8 @@ def run_eval(bundle, state, dataset, args, mesh, compute: bool = True):
                 host[0][i], host[1][i],
                 det_valid=det.valid[i], gt_mask=host[2][i],
             )
+            if dump is not None:
+                dump.append(_dump_image(dataset, seen, det, i))
             seen += 1
 
     # one-batch pipeline: dispatch batch k+1 before fetching/accumulating
@@ -133,11 +170,16 @@ def run_eval(bundle, state, dataset, args, mesh, compute: bool = True):
     if not compute:
         return evaluator, seen
     result = evaluator.compute(iou_threshold=args.iou_threshold)
+    if getattr(args, "coco_map", False):
+        result["coco"] = evaluator.compute_range()
     # steady-state rate; None when the whole run was one (compile) batch
     result["images_per_sec"] = (
         round(min(timed, seen) / dt, 2) if timed and dt > 0 else None
     )
     result["num_images"] = seen
+    if dump is not None:
+        Path(args.dump_detections).write_text(json.dumps(dump))
+        print(f"wrote {seen} images of detections to {args.dump_detections}")
     return result
 
 
@@ -249,9 +291,9 @@ def main(argv=None):
     )
     if args.ckpt_dir:
         state, step = CheckpointManager(args.ckpt_dir).restore_latest(
-            state, params_only=True
+            state, params_only=True, prefer_ema=args.ema
         )
-        print(f"restored step {step}")
+        print(f"restored step {step}" + (" (EMA weights)" if args.ema else ""))
 
     # eval has no augment, so decode straight to model size on host — same
     # resize placement as the reference's input pipeline, ~10× less
@@ -275,12 +317,19 @@ def main(argv=None):
         )
 
     if multihost:
+        if args.dump_detections:
+            raise SystemExit(
+                "--dump_detections is single-host only (per-host shards "
+                "would each write a partial file)"
+            )
         result = run_eval_multihost(bundle, state, dataset, args)
     else:
         result = run_eval(bundle, state, dataset, args, mesh)
     ips = result.get("images_per_sec")
     print(f"\nmAP@{args.iou_threshold}: {result['mAP']:.4f}"
           + (f" ({ips:.1f} imgs/sec steady-state)" if ips else ""))
+    if "coco" in result:
+        print(f"mAP@[.50:.95]: {result['coco']['mAP']:.4f}")
     for name, ap in result["per_class"].items():
         print(f"  {name:>14}: {'—' if ap is None else f'{ap:.4f}'}")
     if args.out:

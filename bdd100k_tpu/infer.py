@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="BDD100K detector inference (TPU)")
     p.add_argument("--config", default="ssd_mobilenet_300")
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--ema", action="store_true",
+                   help="use the checkpoint's EMA shadow weights "
+                        "(runs trained with --ema_decay)")
     p.add_argument("--image", default=None)
     p.add_argument("--image_dir", default=None)
     p.add_argument("--video", default=None)
@@ -193,9 +196,9 @@ def load_predictor(args, batch_size: int,
     state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
     if args.ckpt_dir:
         state, step = CheckpointManager(args.ckpt_dir).restore_latest(
-            state, params_only=True
+            state, params_only=True, prefer_ema=args.ema
         )
-        print(f"restored step {step}")
+        print(f"restored step {step}" + (" (EMA weights)" if args.ema else ""))
     # yuv420 wire rides on host_resize (frames are then at the even model
     # size); "auto" enables it there, halving transfer bytes again.
     wire_arg = getattr(args, "wire", "auto")

@@ -205,3 +205,26 @@ class DetectionEvaluator:
             "mAP": float(np.mean(valid_aps)) if valid_aps else 0.0,
             "per_class": result_classes,
         }
+
+    def compute_range(
+        self,
+        iou_thresholds: tuple[float, ...] | None = None,
+        eleven_point: bool = False,
+    ) -> dict:
+        """COCO-style mAP averaged over an IoU-threshold range.
+
+        Default range = COCO's [.50:.05:.95]. Matching is redone per
+        threshold on the already-accumulated host arrays (tiny — only the
+        fixed detection slots ever crossed the device boundary). Returns
+        {"mAP": mean over thresholds, "per_iou": {"0.50": mAP, ...}}.
+        """
+        if iou_thresholds is None:
+            iou_thresholds = tuple(np.round(np.arange(0.50, 0.96, 0.05), 2))
+        per_iou = {
+            f"{t:.2f}": self.compute(t, eleven_point)["mAP"]
+            for t in iou_thresholds
+        }
+        return {
+            "mAP": float(np.mean(list(per_iou.values()))),
+            "per_iou": per_iou,
+        }

@@ -37,7 +37,11 @@ except ImportError:  # pragma: no cover - older jax (kwarg: check_rep)
 
 from bdd100k_tpu.data.augment import AugmentConfig, augment_batch
 from bdd100k_tpu.models.detector import DetectorBundle
-from bdd100k_tpu.parallel.train_step import TrainState, detection_loss
+from bdd100k_tpu.parallel.train_step import (
+    TrainState,
+    detection_loss,
+    ema_update,
+)
 
 
 def make_shardmap_train_step(
@@ -45,6 +49,7 @@ def make_shardmap_train_step(
     augment_cfg: AugmentConfig | None = None,
     mesh=None,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """step(state, rng, images_u8, gt_boxes, gt_labels, gt_mask)
     -> (new_state, metrics) — same contract as make_train_step."""
@@ -89,6 +94,9 @@ def make_shardmap_train_step(
         lb = jax.lax.pmean(lb, axis_name="data")
 
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        if ema_decay > 0:
+            # post-pmean params are replica-identical, so the EMA shadow is too
+            new_state = ema_update(new_state, ema_decay)
         metrics = {
             "loss": total,
             "conf_loss": lb.conf,

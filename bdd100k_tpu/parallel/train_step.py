@@ -34,6 +34,10 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Shadow params for --ema_decay (None when EMA is off). jax treats None
+    # as an empty subtree, so the state pytree/sharding specs are unchanged
+    # when disabled and old checkpoints keep loading.
+    ema_params: Any = None
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -101,10 +105,30 @@ def create_train_state(
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(variables["params"]),
             tx=tx,
+            # EMA shadow starts at the init point (the warmup ramp in
+            # ema_update keeps early steps from being anchored to it)
+            ema_params=variables["params"] if cfg.ema_decay > 0 else None,
         )
 
     out = replicated_sharding(mesh) if mesh is not None else None
     return jax.jit(_create, out_shardings=out)(rng)
+
+
+def ema_update(new_state: TrainState, decay: float) -> TrainState:
+    """Fold the post-update params into the EMA shadow (SURVEY.md §2.4).
+
+    TF1 semantics (tf.train.ExponentialMovingAverage with num_updates):
+    effective decay = min(decay, (1+step)/(10+step)) so the shadow tracks
+    tightly while the net is far from its init and converges to `decay`.
+    Runs on the replicated params — free under DP."""
+    step = new_state.step.astype(jnp.float32)
+    d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+    new_ema = jax.tree.map(
+        lambda e, p: e - (1.0 - d).astype(e.dtype) * (e - p),
+        new_state.ema_params,
+        new_state.params,
+    )
+    return new_state.replace(ema_params=new_ema)
 
 
 def detection_loss(
@@ -150,6 +174,7 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     checkify_errors=None,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -203,6 +228,8 @@ def make_train_step(
             loss_fn, has_aux=True
         )(state.params)
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        if ema_decay > 0:
+            new_state = ema_update(new_state, ema_decay)
         metrics = {
             "loss": total,
             "conf_loss": lb.conf,

@@ -65,6 +65,11 @@ def parse_args(argv=None):
     p.add_argument("--lr_decays", default=None,
                    help="comma-separated decay factors, one per boundary")
     p.add_argument("--optimizer", default="momentum")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="keep an exponential-moving-average shadow of the "
+                        "params (TF1 ExponentialMovingAverage semantics incl."
+                        " the (1+t)/(10+t) warmup ramp); evaluate/infer with "
+                        "--ema to use it. 0 = off")
     p.add_argument("--warmup_steps", type=int, default=500)
     p.add_argument("--max_boxes", type=int, default=100)
     p.add_argument("--decode_size", type=int, default=0,
@@ -220,6 +225,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every,
         seed=args.seed,
+        ema_decay=args.ema_decay,
         **lr_kw,
     )
 
@@ -244,6 +250,9 @@ def main(argv=None):
             print(f"resumed from step {start_step}")
     if args.pretrained_backbone and not start_step:
         state = _seed_backbone(state, det_cfg, args.pretrained_backbone)
+        if state.ema_params is not None:
+            # re-anchor the shadow at the seeded weights
+            state = state.replace(ema_params=state.params)
 
     # Multi-host DP: each host decodes ONLY its global_batch/process_count
     # rows; the prefetcher assembles global arrays across processes
@@ -317,16 +326,21 @@ def main(argv=None):
     if args.step_impl == "shard_map":
         from bdd100k_tpu.parallel.shard_map_step import make_shardmap_train_step
 
-        step_fn = make_shardmap_train_step(bundle, aug_cfg, mesh=mesh)
+        step_fn = make_shardmap_train_step(
+            bundle, aug_cfg, mesh=mesh, ema_decay=args.ema_decay
+        )
     elif args.checkify:
         from jax.experimental import checkify
 
         step_fn = make_train_step(
             bundle, aug_cfg, mesh=mesh,
             checkify_errors=checkify.index_checks | checkify.float_checks,
+            ema_decay=args.ema_decay,
         )
     else:
-        step_fn = make_train_step(bundle, aug_cfg, mesh=mesh)
+        step_fn = make_train_step(
+            bundle, aug_cfg, mesh=mesh, ema_decay=args.ema_decay
+        )
     eval_fn = None
     if args.image_summary_every:
         if nproc > 1:

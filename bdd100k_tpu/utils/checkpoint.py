@@ -52,6 +52,8 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
         }
+        if getattr(state, "ema_params", None) is not None:
+            payload["ema_params"] = state.ema_params
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         if input_state is not None:
             (self.directory / self._input_state_name(step)).write_bytes(
@@ -80,7 +82,7 @@ class CheckpointManager:
         return p.read_bytes() if p.exists() else None
 
     def restore_latest(
-        self, state: Any, params_only: bool = False
+        self, state: Any, params_only: bool = False, prefer_ema: bool = False
     ) -> tuple[Any, int]:
         """Restore into the abstract structure of `state`; returns
         (state, step); (state, 0) if no checkpoint exists.
@@ -88,47 +90,93 @@ class CheckpointManager:
         `params_only=True` restores just {params, batch_stats, step} — for
         eval/infer, which build a throwaway optimizer whose state structure
         need not match the one the checkpoint was trained with (e.g. eval
-        defaults to momentum while the run used adam)."""
+        defaults to momentum while the run used adam).
+
+        `prefer_ema=True` (implies the params_only shape) restores the
+        checkpoint's `ema_params` shadow INTO `state.params` — the eval-time
+        weights of an --ema_decay run (SURVEY.md §2.4). Raises SystemExit
+        with a clear message when the checkpoint was trained without EMA."""
         latest = self._mgr.latest_step()
         if latest is None:
             return state, 0
+        params_only = params_only or prefer_ema
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "step": np.asarray(state.step),
         }
+        if prefer_ema:
+            template["ema_params"] = state.params
+            del template["params"]
         if not params_only:
             template["opt_state"] = state.opt_state
+            if getattr(state, "ema_params", None) is not None:
+                template["ema_params"] = state.ema_params
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         if params_only:
             # The on-disk tree also has opt_state; partial-restore just our
             # subtree. Use a standalone PyTree checkpointer on the step dir —
             # the manager may already have Standard handlers registered
             # (from saving), which reject PyTreeRestore args.
-            restore_args = jax.tree.map(
-                lambda a: ocp.RestoreArgs(restore_type=None), abstract
-            )
-            with ocp.PyTreeCheckpointer() as ckptr:
-                restored = ckptr.restore(
-                    self.directory / str(latest) / "default",
-                    args=ocp.args.PyTreeRestore(
-                        abstract,
-                        restore_args=restore_args,
-                        partial_restore=True,
-                    ),
+            restored = self._partial_restore(latest, abstract)
+            if prefer_ema and any(
+                isinstance(leaf, jax.ShapeDtypeStruct)
+                for leaf in jax.tree_util.tree_leaves(restored["ema_params"])
+            ):
+                # partial_restore does NOT error on a missing subtree — it
+                # hands back the abstract ShapeDtypeStructs. Refuse loudly
+                # instead of shipping garbage weights into eval.
+                raise SystemExit(
+                    f"--ema requested but checkpoint step {latest} has "
+                    "no ema_params shadow — it was trained without "
+                    "--ema_decay"
                 )
         else:
-            restored = self._mgr.restore(
-                latest, args=ocp.args.StandardRestore(abstract)
-            )
+            try:
+                restored = self._mgr.restore(
+                    latest, args=ocp.args.StandardRestore(abstract)
+                )
+            except Exception:
+                # structure mismatch on the EMA subtree, both directions:
+                if "ema_params" in abstract:
+                    # resuming a pre-EMA checkpoint with --ema_decay newly
+                    # on — restore the rest, seed the shadow at the params
+                    del abstract["ema_params"]
+                    restored = self._mgr.restore(
+                        latest, args=ocp.args.StandardRestore(abstract)
+                    )
+                    restored["ema_params"] = restored["params"]
+                else:
+                    # checkpoint carries ema_params but this run has EMA
+                    # off — partial-restore just our subtree
+                    restored = self._partial_restore(latest, abstract)
         state = state.replace(
-            params=restored["params"],
+            params=restored["ema_params" if prefer_ema else "params"],
             batch_stats=restored["batch_stats"],
             step=restored["step"],
         )
         if not params_only:
             state = state.replace(opt_state=restored["opt_state"])
+            if getattr(state, "ema_params", None) is not None:
+                state = state.replace(ema_params=restored["ema_params"])
         return state, int(latest)
+
+    def _partial_restore(self, step: int, abstract: Any) -> Any:
+        """PyTree partial restore of `abstract` (a subset of the on-disk
+        tree) from the given step dir — standalone checkpointer because the
+        manager's Standard handlers reject PyTreeRestore args."""
+        restore_args = jax.tree.map(
+            lambda a: ocp.RestoreArgs(restore_type=None), abstract
+        )
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(
+                self.directory / str(step) / "default",
+                args=ocp.args.PyTreeRestore(
+                    abstract,
+                    restore_args=restore_args,
+                    partial_restore=True,
+                ),
+            )
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

@@ -31,11 +31,15 @@ REPO = Path(__file__).resolve().parent.parent
 def test_evaluate_cli_synthetic(config, nms, tmp_path):
     from bdd100k_tpu import evaluate as eval_mod
 
+    extra = []
+    if config == "ssd_tiny_64" and nms == "auto":
+        extra = ["--coco_map",
+                 "--dump_detections", str(tmp_path / "dets.json")]
     result = eval_mod.main([
         "--config", config, "--synthetic", "8",
         "--synthetic_dir", str(tmp_path / "synth"),
         "--batch_size", "8", "--max_boxes", "16", "--nms", nms,
-        "--out", str(tmp_path / "result.json"),
+        "--out", str(tmp_path / "result.json"), *extra,
     ])
     assert 0.0 <= result["mAP"] <= 1.0
     assert result["num_images"] == 8
@@ -46,6 +50,24 @@ def test_evaluate_cli_synthetic(config, nms, tmp_path):
     assert json.loads((tmp_path / "result.json").read_text())["mAP"] == (
         pytest.approx(result["mAP"])
     )
+    if extra:
+        # COCO-range mAP: @0.50 entry must equal the headline compute
+        coco = result["coco"]
+        assert coco["per_iou"]["0.50"] == pytest.approx(result["mAP"])
+        assert 0.0 <= coco["mAP"] <= result["mAP"] + 1e-9
+        # BDD100K-format detection dump: one entry per image, source pixels
+        dets = json.loads((tmp_path / "dets.json").read_text())
+        assert len(dets) == 8
+        assert all(d["name"].endswith(".jpg") for d in dets)
+        some = [l for d in dets for l in d["labels"]]
+        assert some, "no detections dumped"
+        box = some[0]["box2d"]
+        assert 0 <= box["x1"] <= box["x2"] <= 1280 + 1e-6
+        assert 0 <= box["y1"] <= box["y2"] <= 720 + 1e-6
+        assert some[0]["category"] in {
+            "car", "bus", "truck", "person", "rider", "bike", "motor",
+            "traffic light", "traffic sign", "train",
+        }
 
 
 def test_evaluate_multihost_matches_single_process(tmp_path):

@@ -95,3 +95,19 @@ def test_validity_masks_respected():
         gt_mask=gt_mask,
     )
     assert abs(ev.compute()["mAP"] - 1.0) < 1e-9
+
+
+def test_compute_range_coco_style():
+    """mAP@[.50:.95]: a detection at IoU ~0.6 vs its GT counts as TP at
+    thresholds <= 0.6 and FP above, so the range-mean sits between 0 and
+    the @0.50 value."""
+    ev = DetectionEvaluator(num_classes=1)
+    gt = np.array([[0.0, 0.0, 1.0, 0.5]])
+    det = np.array([[0.0, 0.0, 1.0, 0.8]])  # IoU = 0.5/0.8 = 0.625
+    ev.add_image(det, np.array([0.9]), np.array([1]), gt, np.array([1]))
+    res = ev.compute_range()
+    assert len(res["per_iou"]) == 10
+    assert res["per_iou"]["0.50"] == 1.0
+    assert res["per_iou"]["0.60"] == 1.0
+    assert res["per_iou"]["0.65"] == 0.0
+    assert abs(res["mAP"] - 0.3) < 1e-9  # TP at .50/.55/.60 of 10 thresholds

@@ -307,3 +307,114 @@ def test_lr_schedule_colliding_boundaries_multiply():
     sched = make_lr_schedule(cfg)
     assert abs(float(sched(4)) - 1.0) < 1e-6
     assert abs(float(sched(6)) - 0.01) < 1e-6
+
+
+def test_ema_tracks_params_with_warmup_ramp():
+    """--ema_decay keeps a shadow with the TF1 min(decay,(1+t)/(10+t))
+    ramp; verify against a step-by-step host replay (SURVEY.md §2.4)."""
+    bundle = build_detector(tiny_test_config("ssd"), dtype=jnp.float32)
+    decay = 0.95
+    cfg = TrainConfig(batch_size=4, max_boxes=8, warmup_steps=0,
+                      total_steps=100, ema_decay=decay)
+    state = create_train_state(bundle, cfg, jax.random.PRNGKey(0))
+    assert state.ema_params is not None
+    step_fn = make_train_step(bundle, AUG, donate=False, ema_decay=decay)
+    batch = _toy_train_batch(b=4)
+
+    expected = jax.tree.map(np.asarray, jax.device_get(state.params))
+    for i in range(3):
+        state, _ = step_fn(state, jax.random.PRNGKey(i), *batch)
+        t = float(state.step)  # step AFTER the update, as in ema_update
+        d = min(decay, (1.0 + t) / (10.0 + t))
+        params = jax.tree.map(np.asarray, jax.device_get(state.params))
+        expected = jax.tree.map(
+            lambda e, p: e - (1.0 - d) * (e - p), expected, params
+        )
+    got = jax.tree.map(np.asarray, jax.device_get(state.ema_params))
+    for e, g in zip(
+        jax.tree_util.tree_leaves(expected), jax.tree_util.tree_leaves(got)
+    ):
+        np.testing.assert_allclose(e, g, rtol=1e-5, atol=1e-6)
+    # the shadow genuinely lags the live params
+    diffs = [
+        float(np.abs(a - b).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(got),
+            jax.tree_util.tree_leaves(
+                jax.tree.map(np.asarray, jax.device_get(state.params))
+            ),
+        )
+    ]
+    assert max(diffs) > 0
+
+
+def test_ema_checkpoint_roundtrip_and_prefer_ema(tmp_path):
+    """EMA shadow survives save→restore; prefer_ema restores it INTO
+    params for eval/infer; mismatched directions degrade gracefully."""
+    from bdd100k_tpu.utils.checkpoint import CheckpointManager
+
+    bundle = build_detector(tiny_test_config("ssd"), dtype=jnp.float32)
+    cfg = TrainConfig(batch_size=4, max_boxes=8, warmup_steps=0,
+                      total_steps=100, ema_decay=0.9)
+    state = create_train_state(bundle, cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(bundle, AUG, donate=False, ema_decay=0.9)
+    batch = _toy_train_batch(b=4)
+    state, _ = step_fn(state, jax.random.PRNGKey(0), *batch)
+
+    mgr = CheckpointManager(tmp_path / "ema_ckpt", async_save=False)
+    mgr.save(1, state)
+    mgr.wait()
+
+    # full resume restores the shadow
+    fresh = create_train_state(bundle, cfg, jax.random.PRNGKey(5))
+    restored, step = mgr.restore_latest(fresh)
+    assert step == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.ema_params),
+        jax.tree_util.tree_leaves(restored.ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # eval-style: prefer_ema puts the shadow into params
+    eval_state = create_train_state(
+        bundle, TrainConfig(batch_size=4, max_boxes=8), jax.random.PRNGKey(7)
+    )
+    assert eval_state.ema_params is None
+    ema_restored, _ = mgr.restore_latest(eval_state, prefer_ema=True)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.ema_params),
+        jax.tree_util.tree_leaves(ema_restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+    # pre-EMA checkpoint + --ema_decay newly on: shadow seeds at params
+    plain_cfg = TrainConfig(batch_size=4, max_boxes=8)
+    plain = create_train_state(bundle, plain_cfg, jax.random.PRNGKey(0))
+    mgr2 = CheckpointManager(tmp_path / "plain_ckpt", async_save=False)
+    mgr2.save(3, plain)
+    mgr2.wait()
+    resumed, step = mgr2.restore_latest(
+        create_train_state(bundle, cfg, jax.random.PRNGKey(8))
+    )
+    assert step == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(resumed.params),
+        jax.tree_util.tree_leaves(resumed.ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ... and --ema against it fails with a clear message
+    with pytest.raises(SystemExit, match="no ema_params"):
+        mgr2.restore_latest(eval_state, prefer_ema=True)
+    mgr2.close()
+
+    # EMA checkpoint resumed WITHOUT --ema_decay: partial restore works
+    plain_resume, step = mgr.restore_latest(
+        create_train_state(bundle, plain_cfg, jax.random.PRNGKey(9))
+    )
+    assert step == 1 and plain_resume.ema_params is None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(plain_resume.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
