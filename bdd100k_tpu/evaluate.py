@@ -154,10 +154,12 @@ def run_eval(bundle, state, dataset, args, mesh, compute: bool = True):
     for batch in batches:
         det = eval_step(state.params, state.batch_stats, batch.images)
         if t0 is None:
-            # first batch pays compile (+ first weight transfer): block it
-            # out, then start the steady-state clock — on small --synthetic
-            # runs the old folded-in compile dominated images_per_sec
-            jax.block_until_ready(det)
+            # first batch pays compile (+ first weight transfer): fence it
+            # out with a real fetch (block_until_ready can return early on
+            # a fresh executable's first run over the axon tunnel), then
+            # start the steady-state clock — on small --synthetic runs the
+            # old folded-in compile dominated images_per_sec
+            jax.device_get(det.scores[0, 0])
             t0 = time.monotonic()
         else:
             timed += det.boxes.shape[0]

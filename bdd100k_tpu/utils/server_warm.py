@@ -71,7 +71,12 @@ def start_server_warm(bundle) -> ServerWarm:
             cls = jnp.zeros(
                 (1, a, bundle.config.num_classes + 1), jnp.float32
             )
-            jax.block_until_ready(jax.jit(bundle.postprocess)(loc, cls))
+            det = jax.jit(bundle.postprocess)(loc, cls)
+            # fetch, not block: the warm must cover until the server has
+            # REALLY executed the program once — block_until_ready can
+            # return early on a fresh executable's first run (see
+            # benchmarks.common.fetch_fence, measured 2026-08-18)
+            jax.device_get(det.scores[0, 0])
         except Exception as e:  # pragma: no cover - infra-dependent
             handle.error = f"{type(e).__name__}: {e}"
         handle.seconds = time.monotonic() - t0

@@ -44,6 +44,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from benchmarks.common import (  # noqa: E402
     CacheCounters,
     compiled_flops,
+    fetch_fence,
     mfu_fields,
     resident_infer_rate,
 )
@@ -217,7 +218,11 @@ def main():
     t_all = time.monotonic()
     for b in {args.batch_size, args.device_batch_size, 1}:
         t0 = time.monotonic()
-        jax.block_until_ready(infer_step(variables, warm_input(b)))
+        # fetch-fenced: block_until_ready can return before a fresh
+        # executable's first run really finishes on the axon tunnel
+        # (benchmarks.common.fetch_fence), which would leak this shape's
+        # first-run cost into whichever phase consumes it next
+        fetch_fence(infer_step(variables, warm_input(b)))
         compile_per_shape[f"b{b}"] = round(time.monotonic() - t0, 1)
     compile_s = time.monotonic() - t_all
     log(f"compile (3 shapes): {compile_s:.1f}s  per-shape {compile_per_shape}"
@@ -266,7 +271,7 @@ def main():
                 q.put(jax.device_put(x))
             q.put(None)
 
-        jax.block_until_ready(infer_step(variables, jax.device_put(xs[0])))
+        fetch_fence(infer_step(variables, jax.device_put(xs[0])))
         _threading.Thread(target=_feeder, daemon=True).start()
         t0, (b0, j0) = time.monotonic(), _sys_busy()
         while True:
@@ -274,7 +279,7 @@ def main():
             if item is None:
                 break
             det = infer_step(variables, item)
-        jax.block_until_ready(det)
+        fetch_fence(det)  # true completion of the tail (see fetch_fence)
         dt, (b1, j1) = time.monotonic() - t0, _sys_busy()
         rate = len(xs) * args.batch_size / dt
         busy = (b1 - b0) / max(j1 - j0, 1)
@@ -306,7 +311,9 @@ def main():
             )
 
     it = prefetch_to_device((b.images for b in batches()), size=3)
-    det = infer_step(variables, next(it))  # exclude pool spin-up from steady state
+    # fetch-fenced: excludes pool spin-up AND settles the executable so
+    # the loop's trailing fence is honest
+    fetch_fence(infer_step(variables, next(it)))
     n_total = 0
     host_wait = 0.0
     t0 = time.monotonic()
@@ -318,7 +325,7 @@ def main():
         host_wait += time.monotonic() - t_w
         det = infer_step(variables, batch)
         n_total += args.batch_size
-    jax.block_until_ready(det)
+    fetch_fence(det)  # true completion of the tail batch
     dt = time.monotonic() - t0
     imgs_per_sec = n_total / dt
     log(f"e2e: {n_total} images in {dt:.2f}s → {imgs_per_sec:.1f} imgs/s "
@@ -334,7 +341,7 @@ def main():
 
     # ---- p50 batch=1 latency, device-resident input ----
     one = warm_input(1)
-    jax.block_until_ready(infer_step(variables, one))
+    fetch_fence(infer_step(variables, one))
     lat = []
     for _ in range(50):
         t0 = time.monotonic()

@@ -28,6 +28,7 @@ from benchmarks.common import (  # noqa: E402
     compiled_flops,
     device_info,
     emit,
+    fetch_fence,
     log,
     mfu_fields,
     resident_infer_rate,
@@ -94,7 +95,7 @@ def main():
     else:
         warm = jnp.zeros((args.batch_size, 512, 512, 3), jnp.uint8)
     t0 = time.monotonic()
-    jax.block_until_ready(infer(variables, warm))
+    fetch_fence(infer(variables, warm))  # true first-run completion
     log(f"compile: {time.monotonic() - t0:.1f}s  cache {cache.fields}")
 
     # chip capability: FLOPs from the COMPILED program + one-dispatch
@@ -117,13 +118,13 @@ def main():
             )
 
     it = prefetch_to_device((b.images for b in batches()), size=3)
-    det = infer(variables, next(it))  # exclude pool spin-up
+    fetch_fence(infer(variables, next(it)))  # exclude pool spin-up
     n = 0
     t0 = time.monotonic()
     for images in it:
         det = infer(variables, images)
         n += args.batch_size
-    jax.block_until_ready(det)
+    fetch_fence(det)  # true completion of the tail batch
     dt = time.monotonic() - t0
     emit(
         "ssd_vgg16_512 batch=32 eval images/sec/chip (decode->NMS)",

@@ -93,7 +93,9 @@ def main():
                 batch.mask,
             )
             n += args.batch_size
-        jax.block_until_ready(metrics)
+        # fetch, not block: true completion of the tail step (block can
+        # return early on a fresh executable — benchmarks.common.fetch_fence)
+        float(jax.device_get(metrics["loss"]))
         dt = time.monotonic() - t0
         epoch_rates.append(n / dt)
         log(f"epoch {epoch}: {n} imgs in {dt:.1f}s = {n / dt:.1f} imgs/sec")

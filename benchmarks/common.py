@@ -48,14 +48,35 @@ def device_info() -> str:
     return f"{d.platform}:{getattr(d, 'device_kind', '?')} x{len(jax.devices())}"
 
 
+def fetch_fence(out) -> float:
+    """TRUE completion fence: fetch a derived scalar to the host.
+
+    `block_until_ready` is not trustworthy on the axon tunnel for a fresh
+    executable's early runs (measured 2026-08-18: a 13.7-TFLOP fori_loop
+    "blocked" in 3 ms; the value arrived 10.5 s later on fetch; once the
+    first execution has fully completed, subsequent blocks are honest).
+    A host fetch of a value cannot lie — the number is in host memory.
+    This slices one scalar on device first so the fetch itself moves ~4
+    bytes regardless of `out`'s size (wire-rate independent).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(out)[0]
+    return float(jax.device_get(jnp.ravel(leaf)[0]))
+
+
 def timed_loop(fn, iters: int, warmup: int = 2):
     """Run fn() `warmup + iters` times; returns (total_s, p50_s, times list)
-    over the timed iterations, fencing with block_until_ready on fn's output.
+    over the timed iterations. Warmup iterations end in a fetch_fence (so
+    the executable's first execution has REALLY completed — see fetch_fence
+    on why block_until_ready alone can lie there); timed iterations fence
+    with block_until_ready, which is honest after that settling.
     """
     import jax
 
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        fetch_fence(fn())
     times = []
     t_all = time.monotonic()
     for _ in range(iters):
@@ -144,12 +165,17 @@ def resident_infer_rate(infer_fn, variables, resident_batch, batch_size: int,
 
     looped = jax.jit(loop)
     t0 = time.monotonic()
-    jax.block_until_ready(looped(variables, resident_batch))  # compile
+    # fetch, not block: compile_s must cover until the program has REALLY
+    # run once (block_until_ready returns early on a fresh executable's
+    # first run over the axon tunnel — see fetch_fence)
+    fetch_fence(looped(variables, resident_batch))
     compile_s = time.monotonic() - t0
     if compile_only:  # cache pre-warm: skip the timed measurement pass
         return 0.0, compile_s
     t0 = time.monotonic()
-    jax.block_until_ready(looped(variables, resident_batch))
+    # the loop's result IS a scalar: fetching it is the fence, and the
+    # one ~25 ms fetch round-trip is noise over the >1 s loop
+    fetch_fence(looped(variables, resident_batch))
     dt = time.monotonic() - t0
     return iters * batch_size / dt, compile_s
 
@@ -174,14 +200,20 @@ def resident_train_rate(step_fn, state, rng, batch, batch_size: int,
             new_st, metrics = step_fn(st, jax.random.fold_in(rng, i), *batch)
             return new_st, metrics["loss"].astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))
+        loop_state, loss = jax.lax.fori_loop(
+            0, iters, body, (state, jnp.float32(0.0))
+        )
+        del loop_state  # only the scalar leaves the device
+        return loss
 
     looped = jax.jit(loop)
     t0 = time.monotonic()
-    jax.block_until_ready(looped(state, rng, batch))  # compile
+    # fetch-fenced for the same reason as resident_infer_rate: block alone
+    # can return before a fresh executable's first run has really finished
+    fetch_fence(looped(state, rng, batch))
     compile_s = time.monotonic() - t0
     t0 = time.monotonic()
-    jax.block_until_ready(looped(state, rng, batch))
+    fetch_fence(looped(state, rng, batch))
     dt = time.monotonic() - t0
     return iters * batch_size / dt, compile_s
 
