@@ -21,3 +21,7 @@ from bdd100k_tpu.parallel.train_step import (
     make_eval_step,
     detection_loss,
 )
+from bdd100k_tpu.parallel.spatial import (
+    make_spatial_infer_fn,
+    spatial_sharding,
+)
