@@ -9,7 +9,9 @@
 # Usage: scripts/run_tests.sh [pytest args...]
 set -u
 ATTEMPTS=${ATTEMPTS:-3}
-TIMEOUT=${TIMEOUT:-1200}
+# the FULL suite is ~30 min on this box (CLAUDE.md) — the stall watchdog
+# must sit above that or it kills healthy full runs at 69%
+TIMEOUT=${TIMEOUT:-2700}
 
 for i in $(seq 1 "$ATTEMPTS"); do
   # Run pytest as its own session leader so a timeout kills exactly this
