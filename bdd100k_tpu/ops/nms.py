@@ -204,6 +204,40 @@ def fixpoint_greedy_suppress(
     return keep > 0.5
 
 
+def _reorder_tied_runs(
+    top_scores: jnp.ndarray, idx: jnp.ndarray, n: int
+) -> jnp.ndarray:
+    """Reorder `idx` so (score desc, idx asc) holds exactly — the lax.top_k
+    tie order — given `top_scores` already non-increasing along the last
+    axis (what `approx_max_k(..., aggregate_to_topk=True)` guarantees).
+
+    Only runs of exactly-equal scores can be misordered, and a permutation
+    inside an equal run never moves a score — so scores pass through
+    untouched and only the index array is produced. Mechanics: label each
+    equal-score run with its start position (one cummax scan), pack
+    (run_start, idx) into a single int32 (run_start < k in the high bits,
+    idx < n in the low bits), sort that key alone — a payload-free
+    single-key sort, which takes XLA:TPU's fast path where a 2-key
+    variadic sort cannot — and unmask idx.
+    """
+    k = top_scores.shape[-1]
+    idx_bits = max(int(n - 1).bit_length(), 1)
+    assert k.bit_length() + idx_bits <= 31, (k, n)
+    neq = jnp.concatenate(
+        [
+            jnp.ones(top_scores.shape[:-1] + (1,), bool),
+            top_scores[..., 1:] != top_scores[..., :-1],
+        ],
+        axis=-1,
+    )
+    iota = jnp.arange(k, dtype=jnp.int32)
+    run_start = jax.lax.cummax(
+        jnp.where(neq, iota, 0), axis=top_scores.ndim - 1
+    )
+    key = jnp.sort((run_start << idx_bits) | idx, axis=-1)
+    return key & ((1 << idx_bits) - 1)
+
+
 def _preselect_candidates(
     boxes: jnp.ndarray,
     class_scores: jnp.ndarray,
@@ -239,23 +273,12 @@ def _preselect_candidates(
         )  # (B, C, k)
         # PartialReduce is value-exact but may order TIED scores differently
         # from the lax.top_k oracle, and greedy NMS keep decisions depend on
-        # candidate order. Re-order the k candidates by (score desc, anchor
-        # index asc) — top_k's documented tie order — so 'exact' stays
-        # bit-identical to the oracle. NOT via a 2-key lax.sort: a variadic
-        # multi-key sort can't take XLA:TPU's fast single-key path (the
-        # round-2 implementation; it and an O(k²) comparison-rank variant
-        # both measured slower on the v5e than the segmented key below).
-        # Key insight: `aggregate_to_topk` means PartialReduce already
-        # finished with an exact top_k, so `top_scores` is DESCENDING —
-        # only runs of exactly-equal scores can be idx-misordered, and
-        # reordering inside an equal run never moves a score. So: label
-        # each equal-score run with its start position (one cummax scan),
-        # pack (run_start, idx) into a single int32 (run_start < k takes
-        # ⌈log2 k⌉ high bits, idx < N the low bits — 23 total even for
-        # SSD512's 24 564 anchors), and sort THAT key alone, payload-free:
-        # idx is recovered by mask, and scores need no gather at all.
-        # One single-key int32 sort on (B, C, k): measured at noise level
-        # vs. no reorder at all on the flagship shape (128, 10, 200).
+        # candidate order. `_reorder_tied_runs` restores top_k's
+        # (score desc, anchor index asc) tie order so 'exact' stays
+        # bit-identical to the oracle — measured at noise level vs no
+        # reorder at all on the flagship (128, 10, 200) shape, where the
+        # round-2 two-key lax.sort and an O(k²) comparison-rank variant
+        # were both measurably slower on the v5e.
         # Remaining caveat: when two anchors with EXACTLY equal scores
         # straddle the k boundary, PartialReduce may admit a different
         # member of the tie than top_k would (the re-order fixes order
@@ -263,21 +286,7 @@ def _preselect_candidates(
         # Post-softmax float ties across distinct anchors at the boundary
         # are measure-zero for real logits; the absolute score of every
         # returned detection is unaffected either way.
-        idx_bits = max(int(n - 1).bit_length(), 1)
-        assert k.bit_length() + idx_bits <= 31, (k, n)
-        neq = jnp.concatenate(
-            [
-                jnp.ones(top_scores.shape[:-1] + (1,), bool),
-                top_scores[..., 1:] != top_scores[..., :-1],
-            ],
-            axis=-1,
-        )
-        iota = jnp.arange(k, dtype=jnp.int32)
-        run_start = jax.lax.cummax(
-            jnp.where(neq, iota, 0), axis=top_scores.ndim - 1
-        )
-        key = jnp.sort((run_start << idx_bits) | idx, axis=-1)
-        idx = key & ((1 << idx_bits) - 1)
+        idx = _reorder_tied_runs(top_scores, idx, n)
     # one flat row-gather instead of take_along_axis over a (B, C, N, 4)
     # broadcast — same rows, far less index arithmetic for XLA:TPU
     gidx = (

@@ -43,6 +43,9 @@ def main():
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--resident_iters", type=int, default=20)
+    p.add_argument("--resident_only", action="store_true",
+                   help="emit only the chip-capability (device-resident + "
+                        "MFU) figures; skip the decode-bound e2e phase")
     p.add_argument("--quant", choices=("none", "int8"), default="none",
                    help="post-training dynamic int8 for dense convs "
                         "(v5e int8 MXU = 2x the bf16 peak; VGG16 is the "
@@ -109,6 +112,19 @@ def main():
     mfu = mfu_fields(flops_per_img, device_only)
     log(f"device-resident (b{args.batch_size}, fori_loop): "
         f"{device_only:.1f} imgs/sec  {mfu}")
+
+    if args.resident_only:
+        emit(
+            "ssd_vgg16_512 device-resident images/sec/chip",
+            device_only,
+            "images/sec/chip",
+            vs_baseline=device_only / TARGET_IMGS_PER_SEC_PER_CHIP,
+            quant=args.quant,
+            device_resident_batch=args.batch_size,
+            **mfu,
+            **cache.fields,
+        )
+        return
 
     def batches():
         for _ in range(args.rounds):

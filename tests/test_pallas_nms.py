@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from bdd100k_tpu.ops.nms import (
+    _reorder_tied_runs,
     batched_class_nms,
     batched_class_nms_pallas,
     greedy_keep_mask,
@@ -76,6 +77,35 @@ def test_full_pallas_nms_matches_xla(seed):
     np.testing.assert_allclose(
         np.asarray(ref.boxes)[v], np.asarray(out.boxes)[v], rtol=0, atol=0
     )
+
+
+@pytest.mark.parametrize("n", [512, 24_564])  # 24 564 = SSD512 anchors:
+def test_reorder_tied_runs_fixes_adversarial_tie_orders(n):
+    """_reorder_tied_runs must turn ANY within-run index order into
+    (score desc, idx asc) — lax.top_k's tie order. The CPU backend never
+    produces scrambled ties (its approx_max_k lowers to an exact sorted
+    top-k), so this feeds the helper adversarially shuffled runs directly;
+    n = 24 564 exercises the >16 384-anchor index-packing width."""
+    rng = np.random.RandomState(3)
+    rows, k = 6, 64
+    # few distinct score levels -> long equal runs, including across the
+    # run boundaries the cummax labeling must detect
+    levels = np.sort(rng.rand(8).astype(np.float32))[::-1]
+    scores = np.sort(
+        levels[rng.randint(0, 8, size=(rows, k))], axis=-1
+    )[:, ::-1]  # non-increasing, as aggregate_to_topk guarantees
+    # distinct indices per row, deliberately NOT ascending within runs
+    idx = np.stack(
+        [rng.choice(n, size=k, replace=False) for _ in range(rows)]
+    ).astype(np.int32)
+
+    got = np.asarray(
+        _reorder_tied_runs(jnp.asarray(scores), jnp.asarray(idx), n)
+    )
+
+    for r in range(rows):
+        order = np.lexsort((idx[r], -scores[r]))  # score desc, idx asc
+        np.testing.assert_array_equal(got[r], idx[r][order])
 
 
 def test_exact_preselect_tie_order_matches_oracle():
