@@ -30,7 +30,7 @@ from bdd100k_tpu.models.detector import build_detector
 from bdd100k_tpu.ops.map_metric import DetectionEvaluator
 from bdd100k_tpu.parallel.mesh import batch_sharding, make_mesh
 from bdd100k_tpu.parallel.train_step import create_train_state, make_eval_step
-from bdd100k_tpu.utils.checkpoint import CheckpointManager
+from bdd100k_tpu.utils.weights import restore_eval_weights
 
 
 def parse_args(argv=None):
@@ -42,7 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic_dir", default="/tmp/bdd_synth_val")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_boxes", type=int, default=100)
-    p.add_argument("--ckpt_dir", default=None, help="restore latest ckpt")
+    p.add_argument("--ckpt_dir", default=None,
+                   help="orbax run dir (restore latest) or a single-file\n"
+                        ".npz weights artifact (scripts/export_weights.py)")
     p.add_argument("--ema", action="store_true",
                    help="evaluate the checkpoint's EMA shadow weights "
                         "(runs trained with --ema_decay)")
@@ -292,8 +294,8 @@ def main(argv=None):
         bundle, TrainConfig(), jax.random.PRNGKey(0), mesh=mesh
     )
     if args.ckpt_dir:
-        state, step = CheckpointManager(args.ckpt_dir).restore_latest(
-            state, params_only=True, prefer_ema=args.ema
+        state, step = restore_eval_weights(
+            state, args.ckpt_dir, ema=args.ema, expect_config=det_cfg.name
         )
         print(f"restored step {step}" + (" (EMA weights)" if args.ema else ""))
 

@@ -30,14 +30,15 @@ from bdd100k_tpu.configs import BDD100K_CLASSES, TrainConfig, get_config
 from bdd100k_tpu.data.augment import preprocess_eval_batch
 from bdd100k_tpu.models.detector import build_detector
 from bdd100k_tpu.parallel.train_step import create_train_state
-from bdd100k_tpu.utils.checkpoint import CheckpointManager
+from bdd100k_tpu.utils.weights import restore_eval_weights
 from bdd100k_tpu.utils.viz import draw_detections
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="BDD100K detector inference (TPU)")
     p.add_argument("--config", default="ssd_mobilenet_300")
-    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--ckpt_dir", default=None,
+                   help="orbax run dir or a single-file .npz weights artifact")
     p.add_argument("--ema", action="store_true",
                    help="use the checkpoint's EMA shadow weights "
                         "(runs trained with --ema_decay)")
@@ -195,8 +196,8 @@ def load_predictor(args, batch_size: int,
     start_server_warm(bundle)
     state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
     if args.ckpt_dir:
-        state, step = CheckpointManager(args.ckpt_dir).restore_latest(
-            state, params_only=True, prefer_ema=args.ema
+        state, step = restore_eval_weights(
+            state, args.ckpt_dir, ema=args.ema, expect_config=det_cfg.name
         )
         print(f"restored step {step}" + (" (EMA weights)" if args.ema else ""))
     # yuv420 wire rides on host_resize (frames are then at the even model

@@ -185,3 +185,30 @@ def test_checkpoint_input_state_per_host(tmp_path, monkeypatch):
     monkeypatch.setattr(ck.jax, "process_count", lambda: 4)
     assert mgr.restore_input_state(3) is None
     mgr.close()
+
+
+def test_prepare_cli_writes_readable_shards(synth, tmp_path):
+    """scripts/prepare_bdd100k.py — the reference's one-shot dataset
+    conversion step (SURVEY.md §3.4) as a command."""
+    import sys
+    from pathlib import Path
+
+    root, labels = synth
+    scripts = str(Path(__file__).resolve().parent.parent / "scripts")
+    sys.path.insert(0, scripts)
+    try:
+        import prepare_bdd100k
+    finally:
+        sys.path.remove(scripts)
+    out = tmp_path / "cli_rec"
+    prepare_bdd100k.main([
+        "--labels", str(labels),
+        "--image_dir", str(root / "images" / "train"),
+        "--out_dir", str(out), "--shard_size", "4",
+    ])
+    packed = ArrayRecordDetectionDataset(out, max_boxes=16)
+    direct = DetectionDataset.from_bdd100k(
+        labels, root / "images" / "train", max_boxes=16
+    )
+    assert len(packed) == len(direct) == 6
+    np.testing.assert_array_equal(packed[2]["image"], direct[2]["image"])
