@@ -11,6 +11,7 @@ from bdd100k_tpu.configs.detector_configs import (
     SSD_MOBILENET_300,
     SSD_VGG16_512,
     YOLO_MOBILENET_384,
+    apply_yolo_priors,
     get_config,
 )
 from bdd100k_tpu.configs.train_configs import TrainConfig

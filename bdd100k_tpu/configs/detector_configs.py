@@ -118,6 +118,28 @@ def tiny_test_config(head: str = "ssd") -> DetectorConfig:
     )
 
 
+def apply_yolo_priors(cfg: DetectorConfig, path: str) -> DetectorConfig:
+    """Replace a YOLO config's anchor priors with a fitted set — the JSON
+    written by `scripts/kmeans_priors.py --out` (nested [scale][prior][w,h]).
+
+    Head param shapes depend only on priors-per-scale, so a checkpoint
+    trained with one prior set restores under another of the same ks
+    (anchor GEOMETRY changes; continue training or re-evaluate accordingly).
+    """
+    import json
+
+    raw = json.loads(open(path).read())
+    priors = tuple(tuple((float(w), float(h)) for w, h in s) for s in raw)
+    if cfg.head != "yolo":
+        raise ValueError(f"--yolo_priors needs a YOLO config, got {cfg.name}")
+    if len(priors) != len(cfg.yolo_grids):
+        raise ValueError(
+            f"{path} has {len(priors)} scales; config {cfg.name} expects "
+            f"{len(cfg.yolo_grids)}"
+        )
+    return dataclasses.replace(cfg, yolo_priors=priors)
+
+
 _CONFIGS = {
     c.name: c for c in (SSD_MOBILENET_300, SSD_VGG16_512, YOLO_MOBILENET_384)
 }

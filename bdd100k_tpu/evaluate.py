@@ -36,6 +36,9 @@ from bdd100k_tpu.utils.weights import restore_eval_weights
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="BDD100K detector eval (TPU)")
     p.add_argument("--config", default="ssd_mobilenet_300")
+    p.add_argument("--yolo_priors", default=None,
+                   help="JSON from scripts/kmeans_priors.py --out: replace "
+                        "the config's YOLO anchor priors with a fitted set")
     p.add_argument("--labels", default=None)
     p.add_argument("--image_dir", default=None)
     p.add_argument("--synthetic", type=int, default=0)
@@ -257,6 +260,10 @@ def main(argv=None):
             )
         jax.distributed.initialize(**kw)
     det_cfg = get_config(args.config)
+    if args.yolo_priors:
+        from bdd100k_tpu.configs import apply_yolo_priors
+
+        det_cfg = apply_yolo_priors(det_cfg, args.yolo_priors)
     if args.nms != "auto" or args.preselect != "exact" or args.quant != "none":
         import dataclasses
 

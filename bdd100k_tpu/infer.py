@@ -37,6 +37,9 @@ from bdd100k_tpu.utils.viz import draw_detections
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="BDD100K detector inference (TPU)")
     p.add_argument("--config", default="ssd_mobilenet_300")
+    p.add_argument("--yolo_priors", default=None,
+                   help="JSON from scripts/kmeans_priors.py --out: replace "
+                        "the config's YOLO anchor priors with a fitted set")
     p.add_argument("--ckpt_dir", default=None,
                    help="orbax run dir or a single-file .npz weights artifact")
     p.add_argument("--ema", action="store_true",
@@ -175,6 +178,10 @@ class Predictor:
 def load_predictor(args, batch_size: int,
                    host_resize: bool = False) -> Predictor:
     det_cfg = get_config(args.config)
+    if getattr(args, "yolo_priors", None):
+        from bdd100k_tpu.configs import apply_yolo_priors
+
+        det_cfg = apply_yolo_priors(det_cfg, args.yolo_priors)
     nms = getattr(args, "nms", "auto")
     quant = getattr(args, "quant", "none")
     if nms != "auto" or quant != "none":

@@ -42,6 +42,9 @@ from bdd100k_tpu.utils.metrics import MetricsLogger
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="BDD100K detector training (TPU)")
     p.add_argument("--config", default="ssd_mobilenet_300")
+    p.add_argument("--yolo_priors", default=None,
+                   help="JSON from scripts/kmeans_priors.py --out: replace "
+                        "the config's YOLO anchor priors with a fitted set")
     p.add_argument("--labels", default=None, help="BDD100K labels JSON")
     p.add_argument("--image_dir", default=None)
     p.add_argument("--records_dir", default=None,
@@ -162,7 +165,9 @@ def _seed_backbone(state, det_cfg, path: str):
         ),
     }
     if path.endswith(".npz"):
-        merged = pretrained.load_params_npz(variables, path)
+        # accepts bare transplant npz OR a full detector artifact
+        # (utils/weights.py layout) — backbone params + BN stats
+        merged = pretrained.load_backbone_any_npz(variables, path)
     elif det_cfg.backbone == "vgg16":
         merged = pretrained.import_torch_vgg16(variables, path)
     else:
@@ -208,6 +213,10 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     det_cfg = get_config(args.config)
+    if args.yolo_priors:
+        from bdd100k_tpu.configs import apply_yolo_priors
+
+        det_cfg = apply_yolo_priors(det_cfg, args.yolo_priors)
     lr_kw = {}
     if args.lr_boundaries is not None:
         lr_kw["lr_boundaries"] = tuple(

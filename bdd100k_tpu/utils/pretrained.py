@@ -90,6 +90,41 @@ def load_params_npz(
     return rec(variables, 0)
 
 
+def load_backbone_any_npz(variables: dict, path: str | Path) -> dict:
+    """Seed `variables`' backbone from an npz in EITHER layout:
+
+    * bare transplant — keys relative to ``params/backbone`` (the
+      `save_params_npz(..., subtree=...)` form, or an externally prepared
+      ImageNet npz keyed by our param paths);
+    * full detector artifact — `utils/weights.py` layout
+      (``params/...`` + ``batch_stats/...`` + ``__meta__``), e.g. the
+      committed `artifacts/ssd_mobilenet_300_synth9k.npz`. Only the
+      backbone subtree is taken — params AND BatchNorm running stats — so
+      a backbone trained under one head (SSD) can seed another (YOLO).
+    """
+    flat = dict(np.load(path))
+    flat.pop("__meta__", None)
+    if not any(k.startswith("params/") for k in flat):
+        return load_params_npz(variables, path)
+
+    pp, sp = "params/backbone/", "batch_stats/backbone/"
+    bb = {k[len(pp):]: v for k, v in flat.items() if k.startswith(pp)}
+    if not bb:
+        raise ValueError(f"{path} has no params/backbone/* entries")
+    out = dict(variables)
+    out["params"] = dict(variables["params"])
+    out["params"]["backbone"] = unflatten_into(
+        variables["params"]["backbone"], bb
+    )
+    stats = {k[len(sp):]: v for k, v in flat.items() if k.startswith(sp)}
+    if stats and variables.get("batch_stats", {}).get("backbone") is not None:
+        out["batch_stats"] = dict(variables["batch_stats"])
+        out["batch_stats"]["backbone"] = unflatten_into(
+            variables["batch_stats"]["backbone"], stats
+        )
+    return out
+
+
 # torchvision vgg16 `features` conv indices, in order conv1_1..conv5_3.
 _TORCH_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
 _VGG_BLOCK_LAYOUT = (  # (flax block name, convs in block)

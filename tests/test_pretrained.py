@@ -243,3 +243,42 @@ def test_seed_backbone_vgg16_without_backbone_batch_stats(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-6)
     # non-backbone leaves keep their init
     assert seeded.batch_stats is state.batch_stats
+
+
+def test_artifact_npz_seeds_other_head_backbone(tmp_path):
+    """Cross-head transfer: a FULL detector artifact (utils/weights.py
+    layout, e.g. the committed SSD300 npz) seeds a YOLO model's backbone —
+    params AND BatchNorm running stats — via the same --pretrained_backbone
+    npz path (pretrained.load_backbone_any_npz)."""
+    from bdd100k_tpu.utils.pretrained import load_backbone_any_npz
+    from bdd100k_tpu.utils.weights import save_detector_npz
+
+    ssd = build_detector(tiny_test_config("ssd"), dtype=jnp.float32)
+    donor = ssd.init(jax.random.PRNGKey(1))
+    path = tmp_path / "ssd_artifact.npz"
+    save_detector_npz(
+        path, donor["params"], donor["batch_stats"],
+        config_name="ssd_tiny_64",
+    )
+
+    yolo = build_detector(tiny_test_config("yolo"), dtype=jnp.float32)
+    fresh = yolo.init(jax.random.PRNGKey(2))
+    merged = load_backbone_any_npz(fresh, str(path))
+
+    d = flatten_tree(donor["params"]["backbone"])
+    m = flatten_tree(merged["params"]["backbone"])
+    assert d.keys() == m.keys()
+    for k in d:
+        np.testing.assert_allclose(
+            d[k], m[k], rtol=1e-3, atol=1e-4
+        )  # fp16 artifact round-trip
+    ds = flatten_tree(donor["batch_stats"]["backbone"])
+    ms = flatten_tree(merged["batch_stats"]["backbone"])
+    for k in ds:
+        np.testing.assert_array_equal(ds[k], ms[k])  # stats stay fp32
+    # head params untouched
+    fh = flatten_tree(fresh["params"])
+    mh = flatten_tree(merged["params"])
+    for k in fh:
+        if not k.startswith("backbone/"):
+            np.testing.assert_array_equal(fh[k], mh[k])
