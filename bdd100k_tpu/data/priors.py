@@ -56,7 +56,15 @@ def kmeans_priors(
     centroids = wh[rng.integers(len(wh))][None]
     for _ in range(k - 1):
         d = 1.0 - _pairwise_shape_iou(wh, centroids).max(axis=1)
-        p = d / max(d.sum(), 1e-12)
+        total = d.sum()
+        if total <= 0.0:
+            # every box shape already coincides with a centroid (e.g. a
+            # grid-synthetic label set with one repeated box): farthest-point
+            # mass is zero — fall back to uniform instead of an opaque
+            # rng.choice "probabilities do not sum to 1" crash
+            p = np.full(len(wh), 1.0 / len(wh))
+        else:
+            p = d / total
         centroids = np.vstack([centroids, wh[rng.choice(len(wh), p=p)]])
 
     assign = np.zeros(len(wh), dtype=np.int64) - 1

@@ -95,21 +95,54 @@ def ensure_synthetic_dataset(
 
     Multi-process safe: the check-then-generate idempotence races when
     every host runs it on a shared directory, so under `jax.distributed`
-    only process 0 generates and the rest wait on a barrier."""
+    process 0 generates first and the rest wait on a barrier. If the
+    directory is NOT shared (e.g. the default /tmp on a real multi-machine
+    pod), each machine still needs its own copy — after the barrier, any
+    process that cannot see the labels file claims a local O_EXCL lock and
+    generates (content is seed-deterministic, so every machine's copy is
+    identical); lock losers poll for the labels JSON, which generation
+    writes last."""
     out_dir = Path(out_dir)
     labels_path = out_dir / "labels" / f"{split}.json"
 
+    def _complete() -> bool:
+        try:
+            return len(json.loads(labels_path.read_text())) >= num_images
+        except (ValueError, OSError):
+            return False
+
     def _ensure() -> Path:
-        if labels_path.exists():
-            try:
-                if len(json.loads(labels_path.read_text())) >= num_images:
-                    return labels_path
-            except (ValueError, OSError):
-                pass
+        if _complete():
+            return labels_path
         return generate_synthetic_dataset(
             out_dir, num_images=num_images, seed=seed,
             max_objects=max_objects, split=split,
         )
+
+    def _ensure_claimed() -> None:
+        """One generator per (machine, out_dir); others wait on the result."""
+        import os
+        import time
+
+        out_dir.mkdir(parents=True, exist_ok=True)
+        lock = out_dir / f".gen_lock_{split}"
+        try:
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            deadline = time.monotonic() + 600.0
+            while not _complete():
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"waited 600s for {labels_path} — a previous "
+                        f"generator may have crashed; remove stale {lock} "
+                        "and retry"
+                    )
+                time.sleep(0.5)
+            return
+        try:
+            _ensure()
+        finally:
+            lock.unlink(missing_ok=True)
 
     import jax
 
@@ -119,6 +152,9 @@ def ensure_synthetic_dataset(
         if jax.process_index() == 0:
             _ensure()
         multihost_utils.sync_global_devices(f"synthetic_ready_{split}")
+        if not _complete():
+            # out_dir is host-local and this machine isn't proc 0's
+            _ensure_claimed()
         return labels_path
     return _ensure()
 

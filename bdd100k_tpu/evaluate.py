@@ -236,6 +236,8 @@ def run_eval_multihost(bundle, state, dataset, args) -> dict:
             with np.load(sync / f"shard_{i}.npz") as blob:
                 merged.merge_arrays(dict(blob))
         result = merged.compute(iou_threshold=args.iou_threshold)
+        if getattr(args, "coco_map", False):
+            result["coco"] = merged.compute_range()
         result["num_images"] = merged._next_img
         result["num_hosts"] = nproc
         (sync / "result.json").write_text(json.dumps(result))

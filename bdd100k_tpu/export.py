@@ -70,7 +70,7 @@ def export_model(args) -> Path:
     from bdd100k_tpu.configs import TrainConfig, get_config
     from bdd100k_tpu.models.detector import build_detector
     from bdd100k_tpu.parallel.train_step import create_train_state
-    from bdd100k_tpu.utils.checkpoint import CheckpointManager
+    from bdd100k_tpu.utils.weights import restore_eval_weights
 
     platforms = (
         [s.strip() for s in args.platforms.split(",")]
@@ -78,8 +78,14 @@ def export_model(args) -> Path:
         else None
     )
     nms = args.nms
-    if platforms and len(platforms) > 1 and nms in ("auto", "pallas"):
-        # Mosaic custom calls are TPU-only; multi-platform needs pure XLA
+    if (
+        platforms
+        and set(platforms) != {jax.default_backend()}
+        and nms in ("auto", "pallas")
+    ):
+        # Mosaic custom calls are TPU-only AND trace-time "auto" resolves
+        # against the CURRENT backend, not the export target — any target
+        # set beyond exactly-this-backend needs the pure-XLA fixpoint path
         nms = "fixpoint"
 
     cfg = get_config(args.config)
@@ -94,9 +100,14 @@ def export_model(args) -> Path:
     state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
     step = 0
     if args.ckpt_dir:
-        state, step = CheckpointManager(args.ckpt_dir).restore_latest(
-            state, params_only=True
+        # orbax run dir OR single-file .npz artifact, same as evaluate/infer
+        state, step = restore_eval_weights(
+            state, args.ckpt_dir, expect_config=cfg.name
         )
+        if step == 0:
+            # an empty/mistyped --ckpt_dir must not silently bake
+            # fresh-init weights into a serving artifact
+            raise SystemExit(f"no checkpoint found under {args.ckpt_dir}")
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats

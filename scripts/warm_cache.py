@@ -64,10 +64,15 @@ def main() -> None:
             )
         return jnp.zeros((b, s, s, 3), jnp.uint8)
 
+    from benchmarks.common import fetch_fence
+
     batch_sizes = [int(x) for x in args.batch_sizes.split(",")]
     for b in batch_sizes:
         t0 = time.monotonic()
-        jax.block_until_ready(infer_step(variables, warm_input(b)))
+        # fetch-fence, not block_until_ready: a fresh executable's block can
+        # return before the device server has really run it (CLAUDE.md), and
+        # absorbing that one-time server-side setup is this script's job
+        fetch_fence(infer_step(variables, warm_input(b)).scores)
         print(f"warmed {args.config} b{b} ({wire}): "
               f"{time.monotonic() - t0:.1f}s", flush=True)
 

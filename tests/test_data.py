@@ -336,3 +336,58 @@ def test_loader_per_host_sharding_uneven(synthetic_root):
     b1 = list(make_loader(ds, 1, shuffle=False, num_epochs=1,
                           process_index=1, process_count=2, num_workers=1))
     assert len(b0) == len(b1) == 2
+
+
+def test_synthetic_nonshared_fs_generates_locally(tmp_path, monkeypatch):
+    """Multi-host generation on a NON-shared out_dir (e.g. host-local /tmp
+    on a real pod): a non-zero process that cannot see proc 0's output
+    after the barrier must generate its own copy (O_EXCL claim), and a
+    lock loser must wait for the winner's labels file instead of racing
+    (code-review r3)."""
+    import threading
+
+    import jax
+
+    from bdd100k_tpu.data.synthetic import ensure_synthetic_dataset
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(
+        "jax.experimental.multihost_utils.sync_global_devices",
+        lambda name: None,
+    )
+
+    # claim path: empty local dir -> this process generates its own copy
+    root = tmp_path / "local_a"
+    labels = ensure_synthetic_dataset(root, num_images=3, seed=0)
+    assert labels.exists()
+    assert len(json.loads(labels.read_text())) == 3
+    assert not (root / ".gen_lock_train").exists()  # lock released
+
+    # loser path: lock already held; another "process" finishes generation
+    # while we poll -> we must return once the labels JSON is complete
+    root_b = tmp_path / "local_b"
+    root_b.mkdir()
+    (root_b / ".gen_lock_train").touch()
+
+    def winner():
+        generate_synthetic_dataset(root_b, num_images=3, seed=0)
+
+    t = threading.Timer(0.3, winner)
+    t.start()
+    try:
+        labels_b = ensure_synthetic_dataset(root_b, num_images=3, seed=0)
+        assert len(json.loads(labels_b.read_text())) == 3
+    finally:
+        t.join()
+
+
+def test_kmeans_priors_degenerate_shapes():
+    """All-identical box shapes must not crash the k-means++ init
+    (farthest-point mass is zero -> uniform fallback, code-review r3)."""
+    from bdd100k_tpu.data.priors import kmeans_priors
+
+    wh = np.full((50, 2), 0.25)
+    centroids, miou = kmeans_priors(wh, k=3, iters=5)
+    assert centroids.shape == (3, 2)
+    assert miou == pytest.approx(1.0)

@@ -108,6 +108,7 @@ def test_evaluate_multihost_matches_single_process(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "bdd100k_tpu.evaluate", *base_args,
              "--batch_size", "4",  # per-host local batch, no mesh constraint
+             "--coco_map",
              "--multihost", "--sync_dir", str(tmp_path / "sync")],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -118,6 +119,10 @@ def test_evaluate_multihost_matches_single_process(tmp_path):
     merged = json.loads((tmp_path / "sync" / "result.json").read_text())
     assert merged["num_images"] == 8
     assert merged["num_hosts"] == 2
+    # --coco_map must survive the multihost merge path (code-review r3)
+    assert merged["coco"]["per_iou"]["0.50"] == pytest.approx(
+        merged["mAP"]
+    )
     # same images, same fixed-init weights; shard merge must not change mAP
     # (tolerance: per-image scores can wiggle at float noise across batch
     # shapes and reorder PR-curve points near ties)

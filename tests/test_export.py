@@ -55,3 +55,46 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ref["classes"]), np.asarray(det["classes"])
     )
+
+
+def test_export_rejects_ckpt_dir_without_checkpoint(tmp_path):
+    """A mistyped/empty --ckpt_dir must fail loudly, not silently bake
+    fresh-init weights into a serving artifact (code-review r3)."""
+    import pytest
+
+    empty = tmp_path / "no_ckpts_here"
+    empty.mkdir()
+    with pytest.raises(SystemExit):
+        export_mod.main([
+            "--config", "ssd_tiny_64", "--out", str(tmp_path / "x.jaxexp"),
+            "--batch_size", "1", "--nms", "fixpoint",
+            "--ckpt_dir", str(empty),
+        ])
+
+
+def test_export_accepts_npz_artifact(tmp_path):
+    """--ckpt_dir foo.npz (the committed single-file artifact form that
+    every other driver accepts) must work for export too."""
+    from bdd100k_tpu.configs import TrainConfig
+    from bdd100k_tpu.configs.detector_configs import tiny_test_config
+    from bdd100k_tpu.models.detector import build_detector
+    from bdd100k_tpu.parallel.train_step import create_train_state
+    from bdd100k_tpu.utils.weights import save_detector_npz
+
+    cfg = tiny_test_config("ssd")
+    bundle = build_detector(cfg)
+    state = create_train_state(bundle, TrainConfig(), jax.random.PRNGKey(0))
+    npz = tmp_path / "tiny_trained.npz"
+    save_detector_npz(
+        npz, jax.device_get(state.params), jax.device_get(state.batch_stats),
+        config_name=cfg.name, step=7,
+    )
+
+    out = tmp_path / "from_npz.jaxexp"
+    export_mod.main([
+        "--config", "ssd_tiny_64", "--out", str(out), "--batch_size", "1",
+        "--nms", "fixpoint", "--ckpt_dir", str(npz),
+    ])
+    serve = export_mod.load(out)
+    det = serve(jnp.zeros((1, 64, 64, 3), jnp.uint8))
+    assert det["boxes"].shape[0] == 1
