@@ -66,10 +66,17 @@ def parse_args(argv=None):
     p.add_argument("--nms", choices=("auto", "xla", "pallas", "fixpoint"),
                    default="auto",
                    help="NMS backend (identical keep decisions in all)")
-    p.add_argument("--quant", choices=("none", "int8"), default="none",
-                   help="post-training dynamic int8 for dense convs "
-                        "(v5e int8 MXU; same checkpoint, report the mAP "
-                        "delta vs none)")
+    p.add_argument("--quant", choices=("none", "int8", "int8_static"),
+                   default="none",
+                   help="post-training int8 for dense convs (v5e int8 MXU; "
+                        "same checkpoint, report the mAP delta vs none). "
+                        "int8: dynamic per-batch activation scales; "
+                        "int8_static: scales calibrated once on the first "
+                        "--calib_batches val batches, then frozen into the "
+                        "program (faster — no per-layer amax pass)")
+    p.add_argument("--calib_batches", type=int, default=2,
+                   help="int8_static: batches used to calibrate the "
+                        "activation scales (read from the eval set)")
     p.add_argument("--preselect", choices=("exact", "approx"), default="exact",
                    help="per-class candidate preselect: exact top-k or the "
                         "faster TPU approx_max_k (~0.95 candidate recall)")
@@ -114,10 +121,23 @@ def _dump_image(dataset, idx: int, det, row: int) -> dict:
     return {"name": dataset.records[idx]["name"], "labels": labels}
 
 
-def run_eval(bundle, state, dataset, args, mesh, compute: bool = True):
+def run_eval(bundle, state, dataset, args, mesh, compute: bool = True,
+             quant_vars=None):
     """Evaluate `dataset`; returns the result dict, or the loaded
     DetectionEvaluator when `compute=False` (multi-host shard mode)."""
-    eval_step = make_eval_step(bundle, mesh=mesh)
+    if quant_vars is None and bundle.config.quant == "int8_static":
+        from bdd100k_tpu.models.quant import (
+            calibrate,
+            calibration_batches_from_dataset,
+        )
+
+        calib = calibration_batches_from_dataset(
+            dataset, args.batch_size, getattr(args, "calib_batches", 2)
+        )
+        quant_vars = calibrate(bundle, state.params, state.batch_stats, calib)
+        print(f"int8_static: calibrated act scales on {len(calib)} "
+              f"batch(es) of {args.batch_size}")
+    eval_step = make_eval_step(bundle, mesh=mesh, quant_vars=quant_vars)
     wire = getattr(args, "wire", "rgb")
     print(f"wire format: {wire}")
     loader = make_loader(
@@ -222,8 +242,23 @@ def run_eval_multihost(bundle, state, dataset, args) -> dict:
 
     shard = copy.copy(dataset)
     shard.records = dataset.records[proc::nproc]
+    # int8_static: calibrate on the UNSHARDED dataset's head so every host
+    # freezes identical activation scales (per-shard calibration would make
+    # the merged mAP depend on the host count)
+    quant_vars = None
+    if bundle.config.quant == "int8_static":
+        from bdd100k_tpu.models.quant import (
+            calibrate,
+            calibration_batches_from_dataset,
+        )
+
+        calib = calibration_batches_from_dataset(
+            dataset, args.batch_size, getattr(args, "calib_batches", 2)
+        )
+        quant_vars = calibrate(bundle, state.params, state.batch_stats, calib)
     evaluator, seen = run_eval(
-        bundle, state, shard, args, mesh=None, compute=False
+        bundle, state, shard, args, mesh=None, compute=False,
+        quant_vars=quant_vars,
     )
     np.savez(sync / f"shard_{proc}.npz", **evaluator.to_arrays())
     multihost_utils.sync_global_devices("eval_shards_written")

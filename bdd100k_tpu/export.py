@@ -34,7 +34,14 @@ def parse_args(argv=None):
                    help="override the config's postprocess threshold")
     p.add_argument("--nms", choices=("auto", "xla", "pallas", "fixpoint"),
                    default="auto")
-    p.add_argument("--quant", choices=("none", "int8"), default="none")
+    p.add_argument("--quant", choices=("none", "int8", "int8_static"),
+                   default="none",
+                   help="int8_static bakes CALIBRATED activation scales "
+                        "into the artifact (needs --calib_images)")
+    p.add_argument("--calib_images", default=None,
+                   help="int8_static: directory of images to calibrate the "
+                        "frozen activation scales on (a handful of "
+                        "representative frames)")
     p.add_argument("--platforms", default=None,
                    help="comma list, e.g. 'tpu,cpu' for a multi-platform "
                         "artifact (forces --nms fixpoint); default: the "
@@ -111,6 +118,34 @@ def export_model(args) -> Path:
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
+    if args.quant == "int8_static":
+        # frozen activation scales are part of the artifact: calibrate on
+        # user-supplied representative frames before baking
+        if not args.calib_images:
+            raise SystemExit(
+                "--quant int8_static needs --calib_images (a directory of "
+                "representative frames to freeze activation scales on)"
+            )
+        import numpy as np
+        from PIL import Image
+
+        from bdd100k_tpu.models.quant import calibrate
+
+        s = cfg.image_size
+        paths = sorted(
+            p for p in Path(args.calib_images).iterdir()
+            if p.suffix.lower() in (".jpg", ".jpeg", ".png")
+        )
+        if not paths:
+            raise SystemExit(f"no images under {args.calib_images}")
+        imgs = np.stack([
+            np.asarray(Image.open(p).convert("RGB").resize((s, s)))
+            for p in paths[:64]
+        ])
+        variables["quant"] = calibrate(
+            bundle, state.params, state.batch_stats, [imgs]
+        )
+        print(f"int8_static: calibrated act scales on {len(imgs)} frames")
     # materialize on host so the params bake into the module as constants
     variables = jax.device_get(variables)
 

@@ -69,8 +69,11 @@ def parse_args(argv=None):
     p.add_argument("--nms", choices=("auto", "xla", "pallas", "fixpoint"),
                    default="auto",
                    help="NMS backend (identical keep decisions in all)")
-    p.add_argument("--quant", choices=("none", "int8"), default="none",
-                   help="post-training dynamic int8 for dense convs")
+    p.add_argument("--quant", choices=("none", "int8", "int8_static"),
+                   default="none",
+                   help="post-training int8 for dense convs; int8_static "
+                        "calibrates activation scales on the first batch "
+                        "and freezes them (faster steady-state)")
     return p.parse_args(argv)
 
 
@@ -100,15 +103,34 @@ class Predictor:
             if nd.available():  # one C call: batched resize + conversion
                 self._native = nd.NativeDecoder(4)
 
+        # int8_static: activation scales are calibrated lazily on the first
+        # real batch (every infer mode's first _fwd call carries real data,
+        # never a zeros warmup), then frozen into the compiled program.
+        self._quant_vars = None
+        self._needs_calib = bundle.config.quant == "int8_static"
+
         def fwd(params, batch_stats, images_u8):
             images = preprocess_eval_batch(images_u8, bundle.config.image_size)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
+            if self._quant_vars is not None:
+                variables["quant"] = self._quant_vars
             loc, cls = bundle.model.apply(variables, images, train=False)
             return bundle.postprocess(loc, cls)
 
-        self._fwd = jax.jit(fwd)
+        self._jit_fwd = jax.jit(fwd)
+
+    def _fwd(self, params, batch_stats, images):
+        if self._needs_calib:  # first batch doubles as the calibration set
+            from bdd100k_tpu.models.quant import calibrate
+
+            self._quant_vars = calibrate(
+                self.bundle, params, batch_stats, [images]
+            )
+            self._needs_calib = False
+            print("int8_static: calibrated act scales on the first batch")
+        return self._jit_fwd(params, batch_stats, images)
 
     def _resize_host(self, frames_u8: np.ndarray) -> np.ndarray:
         s = self.bundle.config.image_size

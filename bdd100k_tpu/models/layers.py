@@ -3,12 +3,17 @@
 All modules take a `dtype` (compute dtype, default bfloat16 — the MXU-native
 type) and keep params in fp32. BatchNorm runs in fp32 for stable statistics.
 
-Modules also take a `quant` mode ("none" | "int8"). "int8" swaps dense
-(groups == 1) convs for :class:`QuantConv` — post-training dynamic int8
-quantization that rides the v5e's int8 MXU path (2× the bf16 peak).
-Param trees are IDENTICAL either way, so any f32/bf16 checkpoint loads
-unchanged into a quantized model. Depthwise convs stay in bf16: they are
-VPU-bound, so int8 buys nothing there, and they are the most
+Modules also take a `quant` mode ("none" | "int8" | "int8_static"). Both
+int8 modes swap dense (groups == 1) convs for :class:`QuantConv` —
+post-training int8 quantization that rides the v5e's int8 MXU path (2× the
+bf16 peak). "int8" derives the activation scale dynamically (per batch, an
+amax reduction over the activation tensor per layer); "int8_static" reads
+it from a calibrated `quant` variable collection (models/quant.py), which
+removes the per-layer reduction AND lets XLA fuse the quantize into the
+producing op's epilogue — the activation is written to HBM once, as int8.
+The `params` tree is IDENTICAL in every mode, so any f32/bf16 checkpoint
+loads unchanged into a quantized model. Depthwise convs stay in bf16: they
+are VPU-bound, so int8 buys nothing there, and they are the most
 quantization-sensitive layers in MobileNet-style nets.
 """
 
@@ -34,6 +39,15 @@ class QuantConv(nn.Module):
 
     Params are stored exactly like nn.Conv ("kernel" (H, W, I, O) f32,
     "bias" (O,)) so trained f32/bf16 checkpoints restore unchanged.
+
+    `static_act=True` ("int8_static" mode): the activation amax lives in a
+    `quant` variable collection instead of being recomputed per batch.
+    Calibration = apply with `mutable=["quant"]` (the var keeps a running
+    max over the calibration batches; models/quant.calibrate drives this);
+    inference reads the frozen var. The scale is then a per-layer constant,
+    so the quantize is pure elementwise — XLA fuses it into the previous
+    op's epilogue and the fp32 amax reduction (an extra HBM read of every
+    activation tensor) disappears from the program.
     """
 
     features: int
@@ -43,6 +57,7 @@ class QuantConv(nn.Module):
     kernel_dilation: tuple[int, int] = (1, 1)
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    static_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -60,9 +75,21 @@ class QuantConv(nn.Module):
         w_q = jnp.clip(
             jnp.round(kernel / w_scale), -127, 127
         ).astype(jnp.int8)
-        # dynamic per-tensor activation quant
         xf = x.astype(jnp.float32)
-        a_amax = jnp.max(jnp.abs(xf))
+        if self.static_act:
+            # calibrated per-tensor activation quant (running max while the
+            # "quant" collection is mutable, frozen scale at inference)
+            amax_var = self.variable(
+                "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.is_mutable_collection("quant"):
+                amax_var.value = jnp.maximum(
+                    amax_var.value, jnp.max(jnp.abs(xf))
+                )
+            a_amax = amax_var.value
+        else:
+            # dynamic per-tensor activation quant
+            a_amax = jnp.max(jnp.abs(xf))
         a_scale = jnp.maximum(a_amax, 1e-12) / 127.0
         x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
 
@@ -97,12 +124,12 @@ def conv2d(
     dtype: jnp.dtype = jnp.bfloat16,
     name: str | None = None,
 ) -> nn.Module:
-    """nn.Conv, or its int8 drop-in when `quant == "int8"` (same params).
+    """nn.Conv, or its int8 drop-in for the int8 quant modes (same params).
 
     Grouped/depthwise convs always stay nn.Conv: they're VPU-bound (int8
     gains nothing) and the most quantization-sensitive layers.
     """
-    if quant == "int8" and feature_group_count == 1:
+    if quant in ("int8", "int8_static") and feature_group_count == 1:
         return QuantConv(
             features=features,
             kernel_size=kernel_size,
@@ -111,9 +138,10 @@ def conv2d(
             kernel_dilation=kernel_dilation,
             use_bias=use_bias,
             dtype=dtype,
+            static_act=quant == "int8_static",
             name=name,
         )
-    if quant not in ("none", "int8"):
+    if quant not in ("none", "int8", "int8_static"):
         raise ValueError(f"unknown quant mode {quant!r}")
     return nn.Conv(
         features,

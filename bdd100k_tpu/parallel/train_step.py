@@ -273,14 +273,22 @@ def make_train_step(
     )
 
 
-def make_eval_step(bundle: DetectorBundle, mesh=None) -> Callable:
+def make_eval_step(
+    bundle: DetectorBundle, mesh=None, quant_vars=None
+) -> Callable:
     """fwd + fused postprocess; returns fixed Detections slots only
-    (SURVEY.md §3.5 eval stack)."""
+    (SURVEY.md §3.5 eval stack).
+
+    `quant_vars`: calibrated `quant` collection for quant="int8_static"
+    (models/quant.calibrate) — closed over, so the per-layer activation
+    scales are constants of the compiled program."""
 
     def step(params, batch_stats, images):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        if quant_vars is not None:
+            variables["quant"] = quant_vars
         # images: float (preprocessed), uint8 RGB, or a (y, uv) planar
         # YUV420 tuple from the wire-efficient loader (half the transfer
         # bytes; reconstructed in the same fused program).

@@ -46,10 +46,13 @@ def main():
     p.add_argument("--resident_only", action="store_true",
                    help="emit only the chip-capability (device-resident + "
                         "MFU) figures; skip the decode-bound e2e phase")
-    p.add_argument("--quant", choices=("none", "int8"), default="none",
-                   help="post-training dynamic int8 for dense convs "
-                        "(v5e int8 MXU = 2x the bf16 peak; VGG16 is the "
-                        "MXU-bound model, so this is where int8 pays)")
+    p.add_argument("--quant", choices=("none", "int8", "int8_static"),
+                   default="none",
+                   help="post-training int8 for dense convs (v5e int8 MXU "
+                        "= 2x the bf16 peak; VGG16 is the MXU-bound model, "
+                        "so this is where int8 pays). int8_static freezes "
+                        "calibrated activation scales: no per-layer amax "
+                        "pass, quantize fuses into the producer")
     args = p.parse_args()
 
     import jax
@@ -82,6 +85,21 @@ def main():
     start_server_warm(bundle)
 
     variables = bundle.init(jax.random.PRNGKey(0))
+    if args.quant == "int8_static":
+        # honest scales for the timed program: calibrate on a random batch
+        # (timing is data-independent; zeros scales would clip-to-zero)
+        import numpy as np
+
+        from bdd100k_tpu.models.quant import calibrate
+
+        calib = np.random.RandomState(0).randint(
+            0, 255, (args.batch_size, 512, 512, 3), np.uint8
+        )
+        variables = dict(variables)
+        variables["quant"] = calibrate(
+            bundle, variables["params"], variables.get("batch_stats", {}),
+            [calib],
+        )
 
     def infer_fn(variables, images_u8):
         images = preprocess_eval_batch(images_u8, bundle.config.image_size)

@@ -57,6 +57,36 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     )
 
 
+def test_export_int8_static_bakes_calibrated_scales(tmp_path):
+    """--quant int8_static exports a runnable artifact with the calibrated
+    activation scales baked in (and refuses to run uncalibrated)."""
+    import pytest
+    from PIL import Image
+
+    out = tmp_path / "tiny_q.jaxexp"
+    with pytest.raises(SystemExit, match="calib_images"):
+        export_mod.main([
+            "--config", "ssd_tiny_64", "--out", str(out), "--batch_size",
+            "1", "--nms", "fixpoint", "--quant", "int8_static",
+        ])
+
+    calib_dir = tmp_path / "calib"
+    calib_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(2):
+        Image.fromarray(
+            rng.randint(0, 255, (64, 64, 3), np.uint8)
+        ).save(calib_dir / f"f{i}.png")
+    export_mod.main([
+        "--config", "ssd_tiny_64", "--out", str(out), "--batch_size", "1",
+        "--nms", "fixpoint", "--quant", "int8_static",
+        "--calib_images", str(calib_dir),
+    ])
+    serve = export_mod.load(out)
+    det = serve(jnp.asarray(rng.randint(0, 255, (1, 64, 64, 3), np.uint8)))
+    assert det["boxes"].shape[0] == 1
+
+
 def test_export_rejects_ckpt_dir_without_checkpoint(tmp_path):
     """A mistyped/empty --ckpt_dir must fail loudly, not silently bake
     fresh-init weights into a serving artifact (code-review r3)."""

@@ -92,6 +92,83 @@ def test_quantized_eval_cli(tmp_path):
     assert result["num_images"] == 8
 
 
+def test_static_quant_matches_dynamic_on_calibration_batch():
+    """int8_static calibrated on batch X must reproduce dynamic int8's
+    output ON X: layer by layer the frozen running-max amax equals the
+    amax dynamic int8 derives from the same activations."""
+    from bdd100k_tpu.models.quant import calibrate, init_quant_vars
+
+    cfg = tiny_test_config("ssd")
+    bundle_dyn = build_detector(
+        dataclasses.replace(cfg, quant="int8"), dtype=jnp.float32
+    )
+    bundle_st = build_detector(
+        dataclasses.replace(cfg, quant="int8_static"), dtype=jnp.float32
+    )
+    rng = jax.random.PRNGKey(0)
+    s = cfg.image_size
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, s, s, 3), jnp.float32)
+    vars_dyn = bundle_dyn.model.init(rng, x, train=False)
+    # same rng → identical params; the static model adds only a separate
+    # "quant" collection (the params tree stays checkpoint-compatible)
+    vars_st = bundle_st.model.init(rng, x, train=False)
+    assert jax.tree.structure(vars_dyn["params"]) == jax.tree.structure(
+        vars_st["params"]
+    )
+    q0 = init_quant_vars(bundle_st)
+    assert q0 is not None
+    for leaf in jax.tree.leaves(q0):
+        assert leaf.shape == () and leaf.dtype == jnp.float32
+
+    qv = calibrate(
+        bundle_st, vars_dyn["params"], vars_dyn.get("batch_stats", {}), [x]
+    )
+    # every calibrated amax is positive (real activations flowed through)
+    assert all(float(a) > 0 for a in jax.tree.leaves(qv))
+
+    loc_d, cls_d = bundle_dyn.model.apply(
+        {k: vars_dyn[k] for k in ("params", "batch_stats") if k in vars_dyn},
+        x, train=False,
+    )
+    st_vars = {
+        k: vars_dyn[k] for k in ("params", "batch_stats") if k in vars_dyn
+    }
+    st_vars["quant"] = qv
+    loc_s, cls_s = bundle_st.model.apply(st_vars, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(loc_s), np.asarray(loc_d), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cls_s), np.asarray(cls_d), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_static_quant_eval_cli(tmp_path):
+    from bdd100k_tpu import evaluate as eval_mod
+
+    result = eval_mod.main([
+        "--config", "ssd_tiny_64", "--synthetic", "8",
+        "--synthetic_dir", str(tmp_path / "synth"),
+        "--batch_size", "8", "--max_boxes", "16",
+        "--quant", "int8_static", "--calib_batches", "1",
+    ])
+    assert 0.0 <= result["mAP"] <= 1.0
+    assert result["num_images"] == 8
+
+
+def test_calibrate_rejects_zero_batches():
+    from bdd100k_tpu.models.quant import calibrate
+
+    cfg = dataclasses.replace(tiny_test_config("ssd"), quant="int8_static")
+    bundle = build_detector(cfg, dtype=jnp.float32)
+    s = cfg.image_size
+    v = bundle.model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)), train=False
+    )
+    with pytest.raises(ValueError, match="zero batches"):
+        calibrate(bundle, v["params"], v.get("batch_stats", {}), [])
+
+
 def test_quantized_vgg16_backbone_tracks_f32():
     """VGG16 is the int8 target (MXU-bound); its quant path — plain conv
     blocks + the dilated fc6 — must keep the param tree and track f32."""
