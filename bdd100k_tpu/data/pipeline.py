@@ -61,19 +61,23 @@ def rgb_to_yuv420_host(images: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-def decode_jpeg_resized(path: str | Path, size: int) -> np.ndarray:
-    """Decode a JPEG straight to (size, size, 3) uint8 RGB.
+def decode_jpeg_bytes_resized(data: bytes, size: int) -> np.ndarray:
+    """Decode in-memory JPEG bytes straight to (size, size, 3) uint8 RGB.
 
     Uses the libjpeg DCT-domain downscale (cv2 IMREAD_REDUCED / PIL draft)
     to skip full-resolution IDCT when the target is ≤ half the source —
     ~2× faster than decode-then-resize on one core (SURVEY.md §7 "Host JPEG
-    decode throughput ... the likely bottleneck").
+    decode throughput ... the likely bottleneck"). Shared by the path-based
+    loader and the record readers (data/records.py), so the records path
+    gets the same DCT fast path as the JSON path (VERDICT r3 weak #3).
     """
+    import io
+
     try:
         import cv2
         from PIL import Image
 
-        with Image.open(path) as im:  # header only — no pixel decode
+        with Image.open(io.BytesIO(data)) as im:  # header only — no decode
             w, h = im.size
         # deepest DCT reduction that still oversamples the target
         if min(w, h) >= 4 * size:
@@ -82,16 +86,22 @@ def decode_jpeg_resized(path: str | Path, size: int) -> np.ndarray:
             flag = cv2.IMREAD_REDUCED_COLOR_2
         else:
             flag = cv2.IMREAD_COLOR
-        img = cv2.imdecode(np.fromfile(str(path), np.uint8), flag)
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), flag)
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
         return np.ascontiguousarray(img[..., ::-1])  # BGR → RGB
     except ImportError:
         from PIL import Image
 
-        with Image.open(path) as im:
+        with Image.open(io.BytesIO(data)) as im:
             im.draft("RGB", (size, size))
             im = im.convert("RGB").resize((size, size))
             return np.asarray(im, dtype=np.uint8)
+
+
+def decode_jpeg_resized(path: str | Path, size: int) -> np.ndarray:
+    """Decode a JPEG file straight to (size, size, 3) uint8 RGB (see
+    :func:`decode_jpeg_bytes_resized` for the DCT-downscale rationale)."""
+    return decode_jpeg_bytes_resized(Path(path).read_bytes(), size)
 
 
 class DetectionDataset:

@@ -80,6 +80,10 @@ def parse_args(argv=None):
     p.add_argument("--preselect", choices=("exact", "approx"), default="exact",
                    help="per-class candidate preselect: exact top-k or the "
                         "faster TPU approx_max_k (~0.95 candidate recall)")
+    p.add_argument("--per_class_topk", type=int, default=None,
+                   help="override PostprocessConfig.per_class_topk (NMS "
+                        "candidate count per class; speed/recall ablation — "
+                        "see BENCH_MATRIX.md)")
     p.add_argument("--wire", choices=("rgb", "yuv420"), default="rgb",
                    help="host->device wire format. Eval defaults to rgb so "
                         "reported mAP never depends on which host ran it "
@@ -301,16 +305,17 @@ def main(argv=None):
         from bdd100k_tpu.configs import apply_yolo_priors
 
         det_cfg = apply_yolo_priors(det_cfg, args.yolo_priors)
-    if args.nms != "auto" or args.preselect != "exact" or args.quant != "none":
+    if (args.nms != "auto" or args.preselect != "exact"
+            or args.quant != "none" or args.per_class_topk is not None):
         import dataclasses
 
+        pp_kw = dict(nms_impl=args.nms, preselect=args.preselect)
+        if args.per_class_topk is not None:
+            pp_kw["per_class_topk"] = args.per_class_topk
         det_cfg = dataclasses.replace(
             det_cfg,
             quant=args.quant,
-            postprocess=dataclasses.replace(
-                det_cfg.postprocess, nms_impl=args.nms,
-                preselect=args.preselect,
-            ),
+            postprocess=dataclasses.replace(det_cfg.postprocess, **pp_kw),
         )
     multihost = jax.process_count() > 1
     if multihost and not args.multihost:

@@ -40,6 +40,9 @@ def main():
     p.add_argument("--combos", default="pallas:exact,pallas:approx,"
                    "fixpoint:exact,fixpoint:approx",
                    help="comma-separated nms:preselect pairs to measure")
+    p.add_argument("--topks", default="200",
+                   help="comma-separated per_class_topk values; each combo "
+                        "is measured at every k (VERDICT r3 #1 ablation)")
     args = p.parse_args()
 
     import jax
@@ -110,19 +113,23 @@ def main():
     results["fwd_decode_score_only"] = round(rate, 1)
     log(f"fwd+decode+score only: {rate:.1f} imgs/s (compile {c:.1f}s)")
 
+    topks = [int(t) for t in args.topks.split(",")]
     for combo in args.combos.split(","):
         nms_impl, preselect = combo.strip().split(":")
-        pp_cfg = dataclasses.replace(
-            base_cfg.postprocess, nms_impl=nms_impl, preselect=preselect
-        )
-        t0 = time.monotonic()
-        rate, c = resident_infer_rate(
-            make_infer(pp_cfg), variables, images, args.batch_size,
-            iters=args.iters,
-        )
-        results[combo] = round(rate, 1)
-        log(f"{combo}: {rate:.1f} imgs/s (compile {c:.1f}s, "
-            f"total {time.monotonic() - t0:.1f}s)")
+        for topk in topks:
+            pp_cfg = dataclasses.replace(
+                base_cfg.postprocess, nms_impl=nms_impl, preselect=preselect,
+                per_class_topk=topk,
+            )
+            t0 = time.monotonic()
+            rate, c = resident_infer_rate(
+                make_infer(pp_cfg), variables, images, args.batch_size,
+                iters=args.iters,
+            )
+            key = combo if topk == 200 else f"{combo}:k{topk}"
+            results[key] = round(rate, 1)
+            log(f"{key}: {rate:.1f} imgs/s (compile {c:.1f}s, "
+                f"total {time.monotonic() - t0:.1f}s)")
 
     best = max(
         (k for k in results if ":" in k), key=lambda k: results[k]

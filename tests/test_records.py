@@ -84,6 +84,62 @@ def test_grain_loader_batches(synth, tmp_path):
     assert b.mask.dtype == bool
 
 
+def test_arrayrecord_decode_size_matches_json_path(synth, tmp_path):
+    """`decode_size` on the record reader takes the same DCT-downscale
+    path as DetectionDataset (VERDICT r3 weak #3: the records path used
+    full-res PIL decode only)."""
+    root, labels = synth
+    convert_bdd100k_to_arrayrecord(
+        labels, root / "images" / "train", tmp_path / "rec", shard_size=8
+    )
+    direct = DetectionDataset.from_bdd100k(
+        labels, root / "images" / "train", max_boxes=16, decode_size=300
+    )
+    packed = ArrayRecordDetectionDataset(
+        tmp_path / "rec", max_boxes=16, decode_size=300
+    )
+    for i in range(3):
+        a, b = direct[i], packed[i]
+        assert b["image"].shape == (300, 300, 3)
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-6)
+
+
+def test_grain_loader_native_decode_and_yuv420(synth, tmp_path):
+    """Grain path decode engines (VERDICT r3 #4): the native C++ pool batch
+    decode matches the per-record python decode to decoder tolerance, and
+    wire_format='yuv420' yields the planar half-byte wire."""
+    from bdd100k_tpu.data import native_decode as nd
+
+    if not nd.available():
+        pytest.skip("native decode pool not buildable here")
+    root, labels = synth
+    convert_bdd100k_to_arrayrecord(
+        labels, root / "images" / "train", tmp_path / "rec", shard_size=8
+    )
+    ds = ArrayRecordDetectionDataset(
+        tmp_path / "rec", max_boxes=16, decode_size=300
+    )
+    kw = dict(batch_size=3, shuffle=False, seed=0, num_epochs=1,
+              num_workers=0)
+    b_native = next(iter(make_grain_loader(ds, native_decode=True, **kw)))
+    b_python = next(iter(make_grain_loader(ds, native_decode=False, **kw)))
+    assert b_native.images.shape == (3, 300, 300, 3)
+    np.testing.assert_array_equal(b_native.boxes, b_python.boxes)
+    np.testing.assert_array_equal(b_native.mask, b_python.mask)
+    diff = np.abs(
+        b_native.images.astype(int) - b_python.images.astype(int)
+    )
+    assert diff.mean() < 1.0 and diff.max() <= 3, (diff.mean(), diff.max())
+
+    b_yuv = next(iter(
+        make_grain_loader(ds, wire_format="yuv420", **kw)
+    ))
+    y, uv = b_yuv.images
+    assert y.shape == (3, 300, 300) and uv.shape == (3, 150, 150, 2)
+    assert y.dtype == np.uint8 and uv.dtype == np.uint8
+
+
 def test_grain_iterator_state_resume(synth, tmp_path):
     """Kill/resume on the grain path (SURVEY.md §5.4 'grain iterator
     state'): restoring a saved iterator state continues the exact shuffle
