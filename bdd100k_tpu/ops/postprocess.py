@@ -47,6 +47,13 @@ class PostprocessConfig:
     # "approx" = TPU-native lax.approx_max_k (~0.95 candidate recall, far
     # faster than the sort-based exact top-k)
     preselect: str = "exact"
+    # two-stage anchor-pruned preselect (ops.nms._preselect_pruned): one
+    # top-M over per-anchor max scores feeds the per-class top-k, with a
+    # runtime exactness guard + lax.cond dense fallback — identical keep
+    # decisions, ~4× cheaper preselect on trained (sparse) models. 0
+    # disables. Applies to the pallas/fixpoint paths; the XLA oracle
+    # never prunes.
+    prune_m: int = 2048
 
 
 def compute_scores(cls_preds: jnp.ndarray, score_mode: str) -> jnp.ndarray:
@@ -109,6 +116,7 @@ def postprocess(
             per_class_topk=config.per_class_topk,
             max_detections=config.max_detections,
             preselect=config.preselect,
+            prune_m=config.prune_m,
         )
     return batched_class_nms(
         decoded,

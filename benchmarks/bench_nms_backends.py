@@ -43,6 +43,13 @@ def main():
     p.add_argument("--topks", default="200",
                    help="comma-separated per_class_topk values; each combo "
                         "is measured at every k (VERDICT r3 #1 ablation)")
+    p.add_argument("--weights", choices=("artifact", "random"),
+                   default="artifact",
+                   help="'artifact' (default): committed trained weights + "
+                        "real synthetic scenes — the sparse score "
+                        "distribution deployment sees (engages the pruned "
+                        "preselect). 'random' reproduces the round-3 "
+                        "dense worst case.")
     args = p.parse_args()
 
     import jax
@@ -52,6 +59,7 @@ def main():
 
     enable_compilation_cache()
 
+    from benchmarks.common import trained_inputs
     from bdd100k_tpu.configs import get_config
     from bdd100k_tpu.data.augment import preprocess_eval_batch
     from bdd100k_tpu.models.detector import build_detector
@@ -62,13 +70,10 @@ def main():
     bundle = build_detector(base_cfg)
     warm = start_server_warm(bundle)
 
-    variables = bundle.init(jax.random.PRNGKey(0))
-    s = base_cfg.image_size
-    # realistic activations (zeros give degenerate all-tied NMS scores):
-    # random uint8 pixels through the real preprocess
-    images = jax.random.randint(
-        jax.random.PRNGKey(1), (args.batch_size, s, s, 3), 0, 255, jnp.uint8
+    variables, images = trained_inputs(
+        bundle, args.config, args.batch_size, args.weights
     )
+    s = base_cfg.image_size
     warm.join()
     log(f"server warm (overlapped with init): {warm.seconds:.1f}s")
 
@@ -141,6 +146,7 @@ def main():
         "vs_baseline": round(results[best] / 625.0, 4),
         "best": best,
         "batch": args.batch_size,
+        "weights": args.weights,
         **results,
     }
     print(json.dumps(out))

@@ -35,6 +35,10 @@ def main():
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--topks", default="200")
     p.add_argument("--preselect", default="exact")
+    p.add_argument("--prune_m", type=int, default=None,
+                   help="override PostprocessConfig.prune_m (0 = dense)")
+    p.add_argument("--weights", choices=("artifact", "random"),
+                   default="artifact")
     args = p.parse_args()
 
     import jax
@@ -56,15 +60,20 @@ def main():
     from bdd100k_tpu.ops.postprocess import compute_scores
     from bdd100k_tpu.utils.server_warm import start_server_warm
 
+    from benchmarks.common import trained_inputs
+
     base_cfg = get_config(args.config)
     pp = base_cfg.postprocess
+    if args.prune_m is not None:
+        import dataclasses
+
+        pp = dataclasses.replace(pp, prune_m=args.prune_m)
     bundle = build_detector(base_cfg)
     warm = start_server_warm(bundle)
-    variables = bundle.init(jax.random.PRNGKey(0))
-    s = base_cfg.image_size
-    images = jax.random.randint(
-        jax.random.PRNGKey(1), (args.batch_size, s, s, 3), 0, 255, jnp.uint8
+    variables, images = trained_inputs(
+        bundle, args.config, args.batch_size, args.weights
     )
+    s = base_cfg.image_size
     warm.join()
 
     class _D:  # minimal .scores[0,0] carry hook for resident_infer_rate
@@ -83,7 +92,8 @@ def main():
                 d.scores = scores[..., 0]
                 return d
             cand_boxes, top_scores, valid = _preselect_candidates(
-                decoded, scores, pp.score_threshold, topk, args.preselect
+                decoded, scores, pp.score_threshold, topk, args.preselect,
+                pp.prune_m,
             )
             if stop == "preselect":
                 d = _D()
@@ -107,6 +117,7 @@ def main():
 
     out = {"metric": "postprocess stage attribution (resident, us/img)",
            "batch": args.batch_size, "preselect": args.preselect,
+           "prune_m": pp.prune_m, "weights": args.weights,
            "stages": {}}
     for topk in (int(t) for t in args.topks.split(",")):
         rates = {}

@@ -346,3 +346,62 @@ def synthetic_dataset(root: str | Path, num_images: int, split: str = "train",
     )
     ds.records = ds.records[:num_images]
     return ds
+
+
+_ARTIFACTS = {
+    "ssd_mobilenet_300": "ssd_mobilenet_300_synth9k.npz",
+    "yolo_mobilenet_384": "yolo_mobilenet_384_synth9k.npz",
+    "ssd_vgg16_512": "ssd_vgg16_512_synth9k.npz",
+}
+
+
+def trained_inputs(bundle, config_name: str, batch_size: int,
+                   weights: str = "artifact"):
+    """(variables, uint8 image batch) for a resident bench.
+
+    `weights="artifact"` restores the committed trained artifact for the
+    config and decodes real synthetic val scenes (tiled to batch_size) —
+    the score distribution a deployed detector actually produces, which
+    the runtime-guarded pruned preselect (ops.nms._preselect_pruned)
+    depends on. `weights="random"` keeps the round-3 protocol (random
+    init + random pixels): every anchor clears the score threshold, the
+    densest input the postprocess can see.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = bundle.config
+    if weights == "random":
+        variables = bundle.init(jax.random.PRNGKey(0))
+        images = jax.random.randint(
+            jax.random.PRNGKey(1),
+            (batch_size, cfg.image_size, cfg.image_size, 3), 0, 255,
+            jnp.uint8,
+        )
+        return variables, images
+    name = _ARTIFACTS.get(config_name)
+    if name is None:
+        raise SystemExit(f"no committed artifact for config {config_name}")
+    path = Path(__file__).resolve().parent.parent / "artifacts" / name
+    from bdd100k_tpu.configs import TrainConfig
+    from bdd100k_tpu.parallel.train_step import create_train_state
+    from bdd100k_tpu.utils.weights import restore_eval_weights
+
+    state = create_train_state(
+        bundle, TrainConfig(), jax.random.PRNGKey(0)
+    )
+    state, _ = restore_eval_weights(state, path, expect_config=cfg.name)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    ds = synthetic_dataset("/tmp/bdd_synth_val", 64, split="val", seed=1)
+    ds.decode_size = cfg.image_size
+    n = min(64, batch_size) if batch_size < 64 else 64
+    frames = np.stack([ds[i]["image"] for i in range(n)])
+    reps = -(-batch_size // n)
+    images = jnp.asarray(
+        np.tile(frames, (reps, 1, 1, 1))[:batch_size]
+    )
+    return variables, images

@@ -248,3 +248,117 @@ def test_postprocess_impl_parity():
     np.testing.assert_array_equal(
         np.asarray(ref.classes), np.asarray(out.classes)
     )
+
+
+def _assert_preselect_equal(a, b):
+    """Candidate-set equality: scores/valid bit-equal everywhere; boxes
+    bit-equal on VALID slots (zero-score slots hold arbitrary tie-broken
+    anchors and can never suppress or become detections)."""
+    (ab, asc, av), (bb, bsc, bv) = a, b
+    np.testing.assert_array_equal(np.asarray(asc), np.asarray(bsc))
+    np.testing.assert_array_equal(np.asarray(av), np.asarray(bv))
+    v = np.asarray(av)
+    np.testing.assert_array_equal(np.asarray(ab)[v], np.asarray(bb)[v])
+
+
+class TestPrunedPreselect:
+    """The two-stage anchor-pruned preselect (ops.nms._preselect_pruned)
+    must produce IDENTICAL keep decisions to the dense path — sparse
+    inputs take the pruned branch, dense inputs must trip the runtime
+    guard and fall back."""
+
+    @staticmethod
+    def _sparse_scores(rng, b, n, c, n_hot, thr):
+        """Scores where only ~n_hot anchors/image clear thr in any class."""
+        scores = rng.rand(b, n, c).astype(np.float32) * thr * 0.9
+        for i in range(b):
+            hot = rng.choice(n, n_hot, replace=False)
+            scores[i, hot] = thr + rng.rand(n_hot, c).astype(np.float32) * 0.9
+        return scores
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_pruned_matches_dense_sparse_input(self, seed):
+        from bdd100k_tpu.ops.nms import _preselect_candidates
+
+        rng = np.random.RandomState(seed)
+        b, n, c, thr = 3, 512, 5, 0.05
+        boxes = np.stack([_random_boxes(rng, n) for _ in range(b)])
+        scores = self._sparse_scores(rng, b, n, c, n_hot=40, thr=thr)
+        dense = _preselect_candidates(
+            jnp.asarray(boxes), jnp.asarray(scores), thr, 64, "exact"
+        )
+        pruned = _preselect_candidates(
+            jnp.asarray(boxes), jnp.asarray(scores), thr, 64, "exact",
+            prune_m=128,
+        )
+        _assert_preselect_equal(dense, pruned)
+
+    def test_guard_falls_back_on_dense_input(self):
+        from bdd100k_tpu.ops.nms import _preselect_candidates
+
+        rng = np.random.RandomState(1)
+        b, n, c = 2, 256, 4
+        boxes = np.stack([_random_boxes(rng, n) for _ in range(b)])
+        # every anchor above threshold in some class → prune_m=32 overflows
+        scores = (0.2 + 0.8 * rng.rand(b, n, c)).astype(np.float32)
+        dense = _preselect_candidates(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.1, 48, "exact"
+        )
+        pruned = _preselect_candidates(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.1, 48, "exact",
+            prune_m=32,
+        )
+        for a, bb in zip(dense, pruned):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+    def test_pruned_tie_order_uses_true_anchor_ids(self):
+        """Equal scores must keep the (score desc, ANCHOR idx asc) oracle
+        order even though the pruned list is ordered by max-score."""
+        from bdd100k_tpu.ops.nms import _preselect_candidates
+
+        rng = np.random.RandomState(2)
+        n, c = 256, 3
+        boxes = _random_boxes(rng, n)[None]
+        scores = np.zeros((1, n, c), np.float32)
+        # class 0: a tie-run of 6 anchors at 0.5 placed at descending
+        # positions, plus distinct fillers; other classes get noise that
+        # reshuffles the stage-1 max-score order
+        tie_anchors = [200, 150, 90, 60, 30, 10]
+        scores[0, tie_anchors, 0] = 0.5
+        scores[0, [5, 250], 0] = [0.9, 0.7]
+        scores[0, :, 1] = 0.02 + 0.3 * rng.rand(n)
+        dense = _preselect_candidates(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.01, 16, "exact"
+        )
+        pruned = _preselect_candidates(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.01, 16, "exact",
+            prune_m=n // 2,
+        )
+        _assert_preselect_equal(dense, pruned)
+
+    @pytest.mark.parametrize("preselect", ["exact", "approx"])
+    def test_full_nms_with_pruning_matches_oracle(self, preselect):
+        """End-to-end: fixpoint NMS with prune_m vs the XLA oracle on a
+        sparse (trained-model-like) score distribution."""
+        rng = np.random.RandomState(4)
+        b, n, c, thr = 2, 400, 5, 0.05
+        boxes = np.stack([_random_boxes(rng, n) for _ in range(b)])
+        scores = self._sparse_scores(rng, b, n, c, n_hot=30, thr=thr)
+        kw = dict(iou_threshold=0.45, score_threshold=thr,
+                  per_class_topk=64, max_detections=50)
+        ref = batched_class_nms(jnp.asarray(boxes), jnp.asarray(scores), **kw)
+        out = batched_class_nms_fixpoint(
+            jnp.asarray(boxes), jnp.asarray(scores), **kw,
+            preselect=preselect, prune_m=128,
+        )
+        # approx preselect may differ on candidate SET only when rows
+        # overflow k; with 30-hot rows and k=64 both are complete → exact
+        np.testing.assert_array_equal(
+            np.asarray(ref.valid), np.asarray(out.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.scores), np.asarray(out.scores), rtol=0, atol=0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.classes), np.asarray(out.classes)
+        )
