@@ -46,7 +46,9 @@ class DetectorConfig:
     matcher_impl: str = "auto"
     # inference quantization: "none" | "int8" (post-training dynamic int8
     # for dense convs — rides the v5e int8 MXU at 2× the bf16 peak;
-    # checkpoints are interchangeable, see models/layers.py QuantConv)
+    # checkpoints are interchangeable, see models/layers.py QuantConv) |
+    # "int8_static" (frozen activation scales — calibration protocol and
+    # helpers in models/quant.py; kills the per-layer amax pass)
     quant: str = "none"
 
     @property

@@ -74,9 +74,17 @@ def parse_args(argv=None):
                         "int8_static: scales calibrated once on the first "
                         "--calib_batches val batches, then frozen into the "
                         "program (faster — no per-layer amax pass)")
-    p.add_argument("--calib_batches", type=int, default=2,
-                   help="int8_static: batches used to calibrate the "
-                        "activation scales (read from the eval set)")
+    p.add_argument("--calib_images", default=None,
+                   help="int8_static: directory of representative frames "
+                        "for activation-scale calibration (e.g. train-split "
+                        "images). Default: the eval set's head — which "
+                        "mildly leaks eval data into the quant params; the "
+                        "result JSON records calib_images_used either way")
+    p.add_argument("--calib_batches", type=int, default=8,
+                   help="int8_static: number of 8-image calibration "
+                        "batches read from the eval set when "
+                        "--calib_images is not given (models/quant.py "
+                        "CALIB_BATCH protocol)")
     p.add_argument("--preselect", choices=("exact", "approx"), default="exact",
                    help="per-class candidate preselect: exact top-k or the "
                         "faster TPU approx_max_k (~0.95 candidate recall)")
@@ -129,18 +137,19 @@ def run_eval(bundle, state, dataset, args, mesh, compute: bool = True,
              quant_vars=None):
     """Evaluate `dataset`; returns the result dict, or the loaded
     DetectionEvaluator when `compute=False` (multi-host shard mode)."""
+    n_calib = None
     if quant_vars is None and bundle.config.quant == "int8_static":
-        from bdd100k_tpu.models.quant import (
-            calibrate,
-            calibration_batches_from_dataset,
-        )
+        from bdd100k_tpu.models.quant import calibrate_for_driver
 
-        calib = calibration_batches_from_dataset(
-            dataset, args.batch_size, getattr(args, "calib_batches", 2)
+        quant_vars, n_calib = calibrate_for_driver(
+            bundle, state.params, state.batch_stats,
+            calib_images=getattr(args, "calib_images", None),
+            dataset=dataset,
+            num_batches=getattr(args, "calib_batches", 8),
         )
-        quant_vars = calibrate(bundle, state.params, state.batch_stats, calib)
-        print(f"int8_static: calibrated act scales on {len(calib)} "
-              f"batch(es) of {args.batch_size}")
+        print(f"int8_static: calibrated act scales on {n_calib} images"
+              + (" (eval-set head)" if not getattr(args, "calib_images",
+                                                   None) else ""))
     eval_step = make_eval_step(bundle, mesh=mesh, quant_vars=quant_vars)
     wire = getattr(args, "wire", "rgb")
     print(f"wire format: {wire}")
@@ -208,6 +217,11 @@ def run_eval(bundle, state, dataset, args, mesh, compute: bool = True,
         round(min(timed, seen) / dt, 2) if timed and dt > 0 else None
     )
     result["num_images"] = seen
+    if n_calib is not None:
+        result["calib_images_used"] = n_calib
+        result["calib_source"] = (
+            getattr(args, "calib_images", None) or "eval-set head"
+        )
     if dump is not None:
         Path(args.dump_detections).write_text(json.dumps(dump))
         print(f"wrote {seen} images of detections to {args.dump_detections}")
@@ -251,15 +265,14 @@ def run_eval_multihost(bundle, state, dataset, args) -> dict:
     # the merged mAP depend on the host count)
     quant_vars = None
     if bundle.config.quant == "int8_static":
-        from bdd100k_tpu.models.quant import (
-            calibrate,
-            calibration_batches_from_dataset,
-        )
+        from bdd100k_tpu.models.quant import calibrate_for_driver
 
-        calib = calibration_batches_from_dataset(
-            dataset, args.batch_size, getattr(args, "calib_batches", 2)
+        quant_vars, _ = calibrate_for_driver(
+            bundle, state.params, state.batch_stats,
+            calib_images=getattr(args, "calib_images", None),
+            dataset=dataset,
+            num_batches=getattr(args, "calib_batches", 8),
         )
-        quant_vars = calibrate(bundle, state.params, state.batch_stats, calib)
     evaluator, seen = run_eval(
         bundle, state, shard, args, mesh=None, compute=False,
         quant_vars=quant_vars,

@@ -126,26 +126,16 @@ def export_model(args) -> Path:
                 "--quant int8_static needs --calib_images (a directory of "
                 "representative frames to freeze activation scales on)"
             )
-        import numpy as np
-        from PIL import Image
+        from bdd100k_tpu.models.quant import calibrate_for_driver
 
-        from bdd100k_tpu.models.quant import calibrate
-
-        s = cfg.image_size
-        paths = sorted(
-            p for p in Path(args.calib_images).iterdir()
-            if p.suffix.lower() in (".jpg", ".jpeg", ".png")
+        # shared driver protocol (models/quant.py): ≤64 frames in 8-image
+        # batches — one small compiled shape instead of a single batch-64
+        # full-res forward that can exceed single-chip memory at 512px
+        variables["quant"], n = calibrate_for_driver(
+            bundle, state.params, state.batch_stats,
+            calib_images=args.calib_images,
         )
-        if not paths:
-            raise SystemExit(f"no images under {args.calib_images}")
-        imgs = np.stack([
-            np.asarray(Image.open(p).convert("RGB").resize((s, s)))
-            for p in paths[:64]
-        ])
-        variables["quant"] = calibrate(
-            bundle, state.params, state.batch_stats, [imgs]
-        )
-        print(f"int8_static: calibrated act scales on {len(imgs)} frames")
+        print(f"int8_static: calibrated act scales on {n} frames")
     # materialize on host so the params bake into the module as constants
     variables = jax.device_get(variables)
 

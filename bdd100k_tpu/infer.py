@@ -72,8 +72,14 @@ def parse_args(argv=None):
     p.add_argument("--quant", choices=("none", "int8", "int8_static"),
                    default="none",
                    help="post-training int8 for dense convs; int8_static "
-                        "calibrates activation scales on the first batch "
-                        "and freezes them (faster steady-state)")
+                        "freezes activation scales from --calib_images "
+                        "(or, if absent, the FIRST batch — activations "
+                        "above that batch's amax clip silently on later "
+                        "frames, so prefer --calib_images for streams)")
+    p.add_argument("--calib_images", default=None,
+                   help="int8_static: directory of representative frames "
+                        "to calibrate activation scales on (the shared "
+                        "models/quant.py protocol, ≤64 frames)")
     return p.parse_args(argv)
 
 
@@ -87,7 +93,8 @@ class Predictor:
     """
 
     def __init__(self, bundle, state, batch_size: int = 1,
-                 host_resize: bool = False, wire: str = "rgb"):
+                 host_resize: bool = False, wire: str = "rgb",
+                 calib_images: str | None = None):
         self.bundle = bundle
         self.state = state
         self.batch_size = batch_size
@@ -103,11 +110,23 @@ class Predictor:
             if nd.available():  # one C call: batched resize + conversion
                 self._native = nd.NativeDecoder(4)
 
-        # int8_static: activation scales are calibrated lazily on the first
-        # real batch (every infer mode's first _fwd call carries real data,
-        # never a zeros warmup), then frozen into the compiled program.
+        # int8_static: scales come from --calib_images when given (the
+        # shared models/quant.py protocol), else are calibrated lazily on
+        # the first real batch — a one-batch calibration clips activations
+        # that exceed that batch's amax on later frames, fine for a demo,
+        # not for a long stream.
         self._quant_vars = None
         self._needs_calib = bundle.config.quant == "int8_static"
+        if self._needs_calib and calib_images is not None:
+            from bdd100k_tpu.models.quant import calibrate_for_driver
+
+            self._quant_vars, n = calibrate_for_driver(
+                bundle, state.params, state.batch_stats,
+                calib_images=calib_images,
+            )
+            self._needs_calib = False
+            print(f"int8_static: calibrated act scales on {n} frames "
+                  f"from {calib_images}")
 
         def fwd(params, batch_stats, images_u8):
             images = preprocess_eval_batch(images_u8, bundle.config.image_size)
@@ -240,7 +259,8 @@ def load_predictor(args, batch_size: int,
         else "rgb"
     )
     return Predictor(
-        bundle, state, batch_size, host_resize=host_resize, wire=wire
+        bundle, state, batch_size, host_resize=host_resize, wire=wire,
+        calib_images=getattr(args, "calib_images", None),
     )
 
 

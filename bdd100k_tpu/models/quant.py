@@ -85,12 +85,27 @@ def calibrate(bundle, params, batch_stats, batches: Iterable):
     return quant
 
 
+# The one documented calibration protocol (shared by evaluate/infer/
+# export): up to CALIB_MAX_IMAGES representative frames, batched at
+# CALIB_BATCH so every calib_step shares one compiled shape. Scales are
+# running maxes, so MORE images can only widen them (less clipping);
+# measured sensitivity on the VGG512 artifact is in BENCH_MATRIX.md
+# "int8_static calibration".
+CALIB_BATCH = 8
+CALIB_MAX_IMAGES = 64
+
+
 def calibration_batches_from_dataset(
-    dataset, batch_size: int, num_batches: int
+    dataset, batch_size: int = CALIB_BATCH,
+    num_batches: int = CALIB_MAX_IMAGES // CALIB_BATCH,
 ):
     """First `num_batches` image batches of `dataset` (decoded uint8 RGB),
     without spinning up the threaded loader — calibration reads a handful
-    of images once, on the caller's thread."""
+    of images once, on the caller's thread.
+
+    A trailing partial batch is padded by repeating its last image so all
+    calibration batches share ONE compiled shape (XLA CPU compiles are
+    slow; a second shape would double the calibration compile cost)."""
     import numpy as np
 
     out = []
@@ -99,6 +114,70 @@ def calibration_batches_from_dataset(
         lo = b * batch_size
         if lo >= n:
             break
-        idx = range(lo, min(lo + batch_size, n))
-        out.append(np.stack([dataset[i]["image"] for i in idx]))
+        idx = list(range(lo, min(lo + batch_size, n)))
+        imgs = [dataset[i]["image"] for i in idx]
+        while len(imgs) < batch_size:  # pad partial tail (running max:
+            imgs.append(imgs[-1])      # duplicates cannot change scales)
+        out.append(np.stack(imgs))
+    return out
+
+
+def calibrate_for_driver(bundle, params, batch_stats, *,
+                         calib_images=None, dataset=None,
+                         num_batches: int = CALIB_MAX_IMAGES // CALIB_BATCH):
+    """The drivers' shared int8_static calibration entry point — ONE
+    protocol everywhere (evaluate/infer/export): `--calib_images <dir>` of
+    representative frames when given, else the head of `dataset`, batched
+    at CALIB_BATCH. Returns (quant_vars, num_images_used).
+
+    Calibrating on the eval set's head mildly leaks eval data into the
+    quant parameters; pass --calib_images (e.g. train-split frames) when
+    that matters. The returned count lets callers record the protocol in
+    their results."""
+    if calib_images is not None:
+        batches = calibration_batches_from_images(
+            calib_images, bundle.config.image_size,
+        )
+    elif dataset is not None:
+        batches = calibration_batches_from_dataset(
+            dataset, num_batches=num_batches
+        )
+    else:
+        raise SystemExit(
+            "--quant int8_static needs --calib_images (a directory of "
+            "representative frames to freeze activation scales on)"
+        )
+    quant = calibrate(bundle, params, batch_stats, batches)
+    return quant, sum(b.shape[0] for b in batches)
+
+
+def calibration_batches_from_images(
+    image_dir, image_size: int, batch_size: int = CALIB_BATCH,
+    limit: int = CALIB_MAX_IMAGES,
+):
+    """Calibration batches from a directory of representative frames
+    (--calib_images on evaluate/infer/export): decoded, resized to the
+    model input, batched at one shared shape (padded tail)."""
+    import numpy as np
+    from PIL import Image
+    from pathlib import Path
+
+    paths = sorted(
+        p for p in Path(image_dir).iterdir()
+        if p.suffix.lower() in (".jpg", ".jpeg", ".png")
+    )[:limit]
+    if not paths:
+        raise SystemExit(f"no images under {image_dir}")
+    imgs = [
+        np.asarray(
+            Image.open(p).convert("RGB").resize((image_size, image_size))
+        )
+        for p in paths
+    ]
+    out = []
+    for lo in range(0, len(imgs), batch_size):
+        chunk = imgs[lo:lo + batch_size]
+        while len(chunk) < batch_size:
+            chunk.append(chunk[-1])
+        out.append(np.stack(chunk))
     return out

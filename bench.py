@@ -82,9 +82,12 @@ def main():
                    default="auto",
                    help="NMS backend (identical keep decisions in all; "
                         "see PostprocessConfig.nms_impl)")
-    p.add_argument("--quant", choices=("none", "int8"), default="none",
-                   help="post-training dynamic int8 for dense convs "
-                        "(v5e int8 MXU path)")
+    p.add_argument("--quant", choices=("none", "int8", "int8_static"),
+                   default="none",
+                   help="post-training int8 for dense convs (v5e int8 MXU "
+                        "path); int8_static freezes activation scales via "
+                        "the shared calibration protocol (models/quant.py) "
+                        "— no per-layer amax pass in the compiled program")
     p.add_argument("--skip_stages", action="store_true",
                    help="skip the isolated stage-breakdown measurements")
     p.add_argument("--wire", choices=("auto", "rgb", "yuv420"), default="auto",
@@ -194,6 +197,21 @@ def main():
         + (f"  [failed: {warm.error}]" if warm.error else ""))
 
     variables = bundle.init(jax.random.PRNGKey(0))
+    if cfg.quant == "int8_static":
+        # shared driver calibration protocol (models/quant.py): scales are
+        # frozen before the timed region; the compiled program is identical
+        # for any scale values, so random-init weights don't affect rates
+        from bdd100k_tpu.models.quant import (
+            calibrate,
+            calibration_batches_from_dataset,
+        )
+
+        variables = dict(variables)
+        variables["quant"] = calibrate(
+            bundle, variables["params"], variables.get("batch_stats"),
+            calibration_batches_from_dataset(dataset),
+        )
+        log("int8_static: calibrated act scales on the bench dataset head")
 
     def infer_fn(variables, images_u8):
         images = preprocess_eval_batch(images_u8, bundle.config.image_size)

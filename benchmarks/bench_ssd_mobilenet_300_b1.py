@@ -24,6 +24,11 @@ from benchmarks.common import device_info, emit, log, timed_loop  # noqa: E402
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--quant", choices=("none", "int8", "int8_static"),
+                   default="none",
+                   help="int8_static is the latency-relevant mode: frozen "
+                        "activation scales remove the per-layer amax "
+                        "reduction from the batch-1 critical path")
     args = p.parse_args()
 
     import jax
@@ -34,7 +39,12 @@ def main():
     from bdd100k_tpu.models.detector import build_detector
 
     log(f"device: {device_info()}")
-    bundle = build_detector(get_config("ssd_mobilenet_300"))
+    cfg = get_config("ssd_mobilenet_300")
+    if args.quant != "none":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, quant=args.quant)
+    bundle = build_detector(cfg)
     # absorb the device server's one-time first-program setup in the
     # background (utils/server_warm.py); joined implicitly by the first
     # real dispatch, overlapped with data/init setup meanwhile
@@ -43,6 +53,20 @@ def main():
     start_server_warm(bundle)
 
     variables = bundle.init(jax.random.PRNGKey(0))
+    if args.quant == "int8_static":
+        # scales frozen before the timed region; the compiled program is
+        # identical for any scale values, so one random batch suffices
+        from bdd100k_tpu.models.quant import calibrate
+
+        calib = np.random.RandomState(1).randint(
+            0, 255, (8, bundle.config.image_size,
+                     bundle.config.image_size, 3), np.uint8
+        )
+        variables = dict(variables)
+        variables["quant"] = calibrate(
+            bundle, variables["params"], variables.get("batch_stats"),
+            [calib],
+        )
 
     @jax.jit
     def infer(variables, image_u8):
@@ -80,6 +104,7 @@ def main():
         "ms",
         vs_baseline=(1000.0 / 59.0) / p50_ms,
         imgs_per_sec=round(args.iters / total, 2),
+        quant=args.quant,
     )
 
 

@@ -186,3 +186,37 @@ def test_quantized_vgg16_backbone_tracks_f32():
         assert tf_.shape == tq.shape
         rel = float(jnp.linalg.norm(tq - tf_) / (jnp.linalg.norm(tf_) + 1e-9))
         assert rel < 0.15, rel
+
+
+def test_calibration_batches_share_one_shape():
+    """Partial trailing batch is padded (running-max: duplicates cannot
+    change scales) so every calib_step hits one compiled shape."""
+    from bdd100k_tpu.models.quant import calibration_batches_from_dataset
+
+    class _DS:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            return {"image": np.full((8, 8, 3), i, np.uint8)}
+
+    batches = calibration_batches_from_dataset(_DS(), batch_size=4,
+                                               num_batches=4)
+    assert [b.shape for b in batches] == [(4, 8, 8, 3)] * 3
+    # padded tail repeats the last real image
+    np.testing.assert_array_equal(batches[2][2], batches[2][3])
+
+
+def test_calibration_batches_from_images(tmp_path):
+    from PIL import Image
+
+    from bdd100k_tpu.models.quant import calibration_batches_from_images
+
+    for i in range(5):
+        Image.fromarray(
+            np.full((32, 48, 3), i * 10, np.uint8)
+        ).save(tmp_path / f"f{i}.jpg")
+    batches = calibration_batches_from_images(tmp_path, image_size=16,
+                                              batch_size=4)
+    assert [b.shape for b in batches] == [(4, 16, 16, 3)] * 2
+    np.testing.assert_array_equal(batches[1][1], batches[1][3])
