@@ -61,13 +61,19 @@ class DetectorConfig:
 
 
 # BASELINE config 1: SSD-MobileNet 300×300 (batch=1 inference incl. NMS).
+# per_class_topk=100: measured mAP delta vs 200 is 0.0000 on the committed
+# trained artifact (scripts/ablate_postprocess.py, 64 held-out scenes) and
+# the device postprocess drops 131→101 us/img (BENCH_MATRIX "NMS backend
+# matrix"). The VGG512 config keeps 200 (−0.004 at 100).
 SSD_MOBILENET_300 = DetectorConfig(
     name="ssd_mobilenet_300",
     image_size=300,
     backbone="mobilenet",
     head="ssd",
     feature_maps=SSD300_FEATURE_MAPS,
-    postprocess=PostprocessConfig(score_mode="softmax", decode_mode="ssd"),
+    postprocess=PostprocessConfig(
+        score_mode="softmax", decode_mode="ssd", per_class_topk=100
+    ),
 )
 
 # BASELINE config 2: SSD-VGG16 512×512 (batch=32 eval, on-device NMS).
@@ -89,7 +95,11 @@ YOLO_MOBILENET_384 = DetectorConfig(
     head="yolo",
     yolo_grids=(48, 24, 12),
     yolo_priors=YOLO_BDD_PRIORS,
-    postprocess=PostprocessConfig(score_mode="sigmoid", decode_mode="yolo"),
+    # k=100: mAP delta 0.0000 vs 200 on the committed artifact (same
+    # ablation as ssd_mobilenet_300 above)
+    postprocess=PostprocessConfig(
+        score_mode="sigmoid", decode_mode="yolo", per_class_topk=100
+    ),
 )
 
 def tiny_test_config(head: str = "ssd") -> DetectorConfig:
