@@ -174,15 +174,26 @@ def _resample(image_f, rect, out_size, fill):
     rh = (rect[3] - rect[1]) * h
     scale = jnp.stack([s / rh, s / rw])
     t = jnp.stack([-scale[0] * rect[1] * h, -scale[1] * rect[0] * w])
+    # The resample is a pair of separable weight matmuls over the full-res
+    # frame — the most HBM/MXU-intensive part of the augment program (at
+    # 720p→384² it is ~3.3 GFLOPs/img, more than the detector forward).
+    # Run it in bf16 at DEFAULT matmul precision: sampling positions and
+    # weights are still computed in fp32 (compute_weight_mat) and only
+    # cast for the contraction, so the error is bounded by bf16 rounding
+    # of [0,1] pixel values (~0.4%) — the same order as the uint8 source
+    # quantization. The default HIGHEST precision would force the slow
+    # multi-pass fp32 MXU path. Measured: augment stage 144 → 100 µs/img,
+    # full YOLO-384 train step 1021 → 1233 imgs/s (bench_train_stages.py).
     out = jax.image.scale_and_translate(
-        image_f - fill,
+        (image_f - fill).astype(jnp.bfloat16),
         (s, s, image_f.shape[2]),
         (0, 1),
         scale,
         t,
         method="linear",
+        precision=jax.lax.Precision.DEFAULT,
     )
-    return out + fill
+    return out.astype(jnp.float32) + fill
 
 
 def _photometric(key, img, cfg: AugmentConfig):

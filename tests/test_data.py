@@ -244,7 +244,9 @@ def test_resample_identity():
     img = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3), jnp.float32)
     rect = jnp.asarray([0.0, 0.0, 1.0, 1.0])
     out = _resample(img, rect, 16, 0.5)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+    # the resample contraction intentionally runs in bf16 (see _resample);
+    # identity weights are exact but pixel values round to bf16 (~2e-3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=4e-3)
 
 
 def test_resample_crop_quadrant():
