@@ -75,7 +75,6 @@ class QuantConv(nn.Module):
         w_q = jnp.clip(
             jnp.round(kernel / w_scale), -127, 127
         ).astype(jnp.int8)
-        xf = x.astype(jnp.float32)
         if self.static_act:
             # calibrated per-tensor activation quant (running max while the
             # "quant" collection is mutable, frozen scale at inference)
@@ -84,14 +83,33 @@ class QuantConv(nn.Module):
             )
             if self.is_mutable_collection("quant"):
                 amax_var.value = jnp.maximum(
-                    amax_var.value, jnp.max(jnp.abs(xf))
+                    amax_var.value,
+                    jnp.max(jnp.abs(x.astype(jnp.float32))),
                 )
             a_amax = amax_var.value
+            # Quantize in the INPUT dtype (bf16), not via an fp32 upcast:
+            # the scale is a frozen constant, so mul+round+clip is a pure
+            # elementwise epilogue XLA fuses into the producing op — the
+            # activation leaves HBM once (as int8), and the fp32
+            # round-trip between quantized layers disappears. Dequant uses
+            # the exact fp32 inverse of the (possibly bf16) multiplier, so
+            # there is no systematic gain error; the bf16 mul itself
+            # rounds ≤1 int8 LSB for |q|≥64 (8 significand bits) —
+            # quantization-noise level (mAP delta in BENCH_MATRIX). When
+            # the module runs in fp32 (tests), this is bit-identical to
+            # the dynamic branch below.
+            inv = (127.0 / jnp.maximum(a_amax, 1e-12)).astype(x.dtype)
+            a_scale = 1.0 / inv.astype(jnp.float32)
+            x_q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
         else:
-            # dynamic per-tensor activation quant
+            # dynamic per-tensor activation quant (amax is data-dependent,
+            # so the quantize cannot be a frozen-constant epilogue; keep
+            # the reduction and the quantize in fp32)
+            xf = x.astype(jnp.float32)
             a_amax = jnp.max(jnp.abs(xf))
-        a_scale = jnp.maximum(a_amax, 1e-12) / 127.0
-        x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+            inv = 127.0 / jnp.maximum(a_amax, 1e-12)
+            a_scale = 1.0 / inv
+            x_q = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
 
         out = jax.lax.conv_general_dilated(
             x_q,

@@ -143,6 +143,31 @@ def test_static_quant_matches_dynamic_on_calibration_batch():
     )
 
 
+def test_static_quant_bf16_epilogue_tracks_fp32():
+    """The bf16 fast path (quantize in the input dtype against a frozen
+    reciprocal scale, models/layers.py) must track the fp32 static path
+    within int8-noise: the bf16 multiply rounds at most ~1 int8 LSB."""
+    qc32 = QuantConv(features=12, kernel_size=(3, 3), dtype=jnp.float32,
+                     static_act=True)
+    qc16 = QuantConv(features=12, kernel_size=(3, 3), dtype=jnp.bfloat16,
+                     static_act=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 8), jnp.float32)
+    v = qc32.init(jax.random.PRNGKey(0), x)
+    # calibrate: one mutable-"quant" pass records the running amax
+    _, cal = qc32.apply(v, x, mutable=["quant"])
+    v = {"params": v["params"], "quant": cal["quant"]}
+    assert float(jax.tree.leaves(cal["quant"])[0]) > 0
+    out32 = qc32.apply(v, x)
+    out16 = qc16.apply(v, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(out16 - out32) / jnp.linalg.norm(out32))
+    assert rel < 0.03, rel
+    # the frozen-scale quantize must not silently widen: same int8 grid,
+    # so the two paths agree elementwise within a few dequant steps
+    grid = float(jax.tree.leaves(cal["quant"])[0]) / 127.0
+    w_amax = float(jnp.max(jnp.abs(v["params"]["kernel"])))
+    assert float(jnp.max(jnp.abs(out16 - out32))) < 40 * grid * w_amax
+
+
 def test_static_quant_eval_cli(tmp_path):
     from bdd100k_tpu import evaluate as eval_mod
 
