@@ -71,8 +71,21 @@ def test_dp8_matches_single_device(head):
     at init every negative's CE is nearly identical, so the cutoff is an fp-
     noise lottery and the two runs would legitimately mine different anchors.
     With the loss made smooth, the only remaining difference is cross-shard
-    reduction order, and lockstep must be tight; mining itself is covered by
-    unit tests (test_matching) and the mining-enabled overfit test above.
+    reduction order.
+
+    Tolerance schedule (round 5, measured): step-0 lockstep is pure
+    reassociation noise — max rel diff 3.4e-6 over 2 heads × 4 seeds — and
+    is asserted tight (5e-5, ~15× margin). Later steps amplify that ulp-
+    level noise through the param-update feedback loop (BN batch stats +
+    ReLU boundary flips + optimizer) at ~30×/step: measured per-step worst
+    rel diffs 3.4e-6 / 1.6e-4 / 3.7e-4 / 1.7e-3 / 5.1e-3 at steps 0-4.
+    Switching BN to two-pass centered variance (use_fast_variance=False)
+    was measured and does NOT shrink this (worst 5.1e-3 vs 3.1e-3 — same
+    magnitude, the growth is chaotic, not cancellation-driven), so the
+    tolerances are derived from the measured noise instead: rtol 5e-5 /
+    5e-3 / 2e-2 for steps 0/1/2 (15-54× margins). A real DP bug (wrong
+    psum normalization, wrong sharding) shows up at step 0 as an order-1
+    rel diff, far past every bound.
     """
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
@@ -97,12 +110,14 @@ def test_dp8_matches_single_device(head):
     step8 = make_train_step(bundle, AUG, mesh=mesh, donate=False)
     batch8 = shard_batch(batch, mesh)
 
+    # Per-step rtol from the measured noise distribution (see docstring).
+    step_rtol = (5e-5, 5e-3, 2e-2)
     for i in range(3):
         rng = jax.random.PRNGKey(i)
         state1, m1 = step1(state1, rng, *batch)
         state8, m8 = step8(state8, rng, *batch8)
         np.testing.assert_allclose(
-            float(m1["loss"]), float(m8["loss"]), rtol=1e-4
+            float(m1["loss"]), float(m8["loss"]), rtol=step_rtol[i]
         )
 
     # Params in approximate lockstep relative to the accumulated update.
