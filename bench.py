@@ -10,9 +10,15 @@ The JSON line also reports the chip-capability numbers the e2e figure can't
 show on this host (single core + ~55 MB/s tunnel):
 
   * device-resident throughput via ONE dispatched fori_loop program
-    (tunnel-insensitive — per-dispatch latency cannot smear it),
+    (tunnel-insensitive — per-dispatch latency cannot smear it), at the
+    SHIPPED operating point (committed trained artifact + real val
+    scenes; the pruned preselect is score-distribution-dependent) plus a
+    random-init `device_resident_worstcase`,
   * model GFLOPs/img from XLA cost analysis and the resulting MFU,
-  * p50 batch=1 latency,
+  * p50 batch=1 latency, dispatched AND on-chip (one fori_loop dispatch),
+  * a projected production-host e2e (per-core decode rate × a v5e-8
+    host's 14 cores/chip vs the chip rate) so the BASELINE 5000/s target
+    is a calculation rather than an extrapolation shrug,
   * persistent-cache hit/miss counts + per-shape compile seconds, so a
     large compile_s is attributable (recompilation vs device-server
     program load).
@@ -196,11 +202,30 @@ def main():
     log(f"server warm (overlapped): {server_warm_s:.1f}s"
         + (f"  [failed: {warm.error}]" if warm.error else ""))
 
-    variables = bundle.init(jax.random.PRNGKey(0))
+    # The SHIPPED operating point: the committed trained artifact + real
+    # synthetic val scenes for the device-resident phase. This matters
+    # since round 4: the runtime-guarded anchor-pruned preselect
+    # (ops.nms._preselect_pruned) branches on the score distribution, and
+    # random-init weights produce dense scores that trip the guard onto
+    # the slow dense path — random-init is the WORST case, reported
+    # separately below as device_resident_worstcase.
+    from benchmarks.common import trained_inputs
+
+    try:
+        variables, resident_images = trained_inputs(
+            bundle, args.config, args.device_batch_size, "artifact"
+        )
+        weights_kind = "artifact"
+    except SystemExit as e:
+        log(f"no trained artifact ({e}); falling back to random init")
+        variables, resident_images = trained_inputs(
+            bundle, args.config, args.device_batch_size, "random"
+        )
+        weights_kind = "random"
     if cfg.quant == "int8_static":
         # shared driver calibration protocol (models/quant.py): scales are
-        # frozen before the timed region; the compiled program is identical
-        # for any scale values, so random-init weights don't affect rates
+        # frozen (calibrated on the bench dataset head with the restored
+        # weights) before any timed region
         from bdd100k_tpu.models.quant import (
             calibrate,
             calibration_batches_from_dataset,
@@ -234,23 +259,27 @@ def main():
 
     compile_per_shape = {}
     t_all = time.monotonic()
-    for b in {args.batch_size, args.device_batch_size, 1}:
+    # e2e shape (wire format), resident shape (RGB trained scenes), b=1
+    warm_shapes = {
+        f"b{args.batch_size}": warm_input(args.batch_size),
+        f"b{args.device_batch_size}_rgb": resident_images,
+        "b1": warm_input(1),
+    }
+    for key, inp in warm_shapes.items():
         t0 = time.monotonic()
         # fetch-fenced: block_until_ready can return before a fresh
         # executable's first run really finishes on the axon tunnel
         # (benchmarks.common.fetch_fence), which would leak this shape's
         # first-run cost into whichever phase consumes it next
-        fetch_fence(infer_step(variables, warm_input(b)))
-        compile_per_shape[f"b{b}"] = round(time.monotonic() - t0, 1)
+        fetch_fence(infer_step(variables, inp))
+        compile_per_shape[key] = round(time.monotonic() - t0, 1)
     compile_s = time.monotonic() - t_all
     log(f"compile (3 shapes): {compile_s:.1f}s  per-shape {compile_per_shape}"
         f"  cache {cache.fields}")
 
     # FLOPs of the b=device_batch program (forward + fused postprocess),
     # from the COMPILED module's cost analysis — the basis for MFU
-    flops_batch = compiled_flops(
-        infer_step, variables, warm_input(args.device_batch_size)
-    )
+    flops_batch = compiled_flops(infer_step, variables, resident_images)
     flops_per_img = (
         flops_batch / args.device_batch_size if flops_batch else None
     )
@@ -350,14 +379,32 @@ def main():
         f"(host-wait {host_wait / dt:.0%})")
 
     # ---- device-resident throughput: ONE dispatch, fori_loop on device ----
+    # Shipped operating point: trained weights + real val scenes (sparse
+    # post-NMS score distribution → the pruned preselect's fast path).
     device_only, loop_compile_s = resident_infer_rate(
-        infer_fn, variables, warm_input(args.device_batch_size),
-        args.device_batch_size,
+        infer_fn, variables, resident_images, args.device_batch_size,
     )
-    log(f"device-resident (b{args.device_batch_size}, fori_loop): "
-        f"{device_only:.1f} imgs/sec (loop compile {loop_compile_s:.1f}s)")
+    log(f"device-resident (b{args.device_batch_size}, fori_loop, "
+        f"{weights_kind} weights): {device_only:.1f} imgs/sec "
+        f"(loop compile {loop_compile_s:.1f}s)")
 
-    # ---- p50 batch=1 latency, device-resident input ----
+    # Worst case: random-init weights + random pixels — every anchor
+    # clears the score threshold, the runtime guard takes the dense path.
+    # Same compiled loop (identical shapes/dtypes), different data.
+    wc_vars, wc_images = trained_inputs(
+        bundle, args.config, args.device_batch_size, "random"
+    )
+    if cfg.quant == "int8_static":
+        wc_vars = dict(wc_vars)
+        wc_vars["quant"] = variables["quant"]
+    device_worst, _ = resident_infer_rate(
+        infer_fn, wc_vars, wc_images, args.device_batch_size,
+    )
+    log(f"device-resident worst case (random init): "
+        f"{device_worst:.1f} imgs/sec")
+
+    # ---- p50 batch=1 latency ----
+    # Dispatched (what THIS host observes — ~90% tunnel on the bench box)
     one = warm_input(1)
     fetch_fence(infer_step(variables, one))
     lat = []
@@ -366,7 +413,16 @@ def main():
         jax.block_until_ready(infer_step(variables, one))
         lat.append((time.monotonic() - t0) * 1e3)
     p50_ms = float(np.percentile(lat, 50))
-    log(f"p50 batch=1: {p50_ms:.2f} ms")
+    # On-chip (what the HARDWARE takes, BASELINE.json:2's latency metric):
+    # one dispatched fori_loop of 200 b=1 steps — per-iteration tunnel cost
+    # is zero by construction, so ms/iter is the chip's own latency. An
+    # on-device loop yields no per-iter jitter source, so mean ≈ p50.
+    one_rgb = resident_images[:1]
+    rate_b1, _ = resident_infer_rate(infer_fn, variables, one_rgb, 1,
+                                     iters=200)
+    p50_onchip_ms = 1000.0 / rate_b1
+    log(f"p50 batch=1: {p50_ms:.2f} ms dispatched, "
+        f"{p50_onchip_ms:.2f} ms on-chip")
 
     baseline_per_chip = 5000.0 / 8.0
     out = {
@@ -375,8 +431,11 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / baseline_per_chip, 4),
         "device_resident_imgs_per_sec": round(device_only, 2),
+        "device_resident_worstcase": round(device_worst, 2),
+        "device_resident_weights": weights_kind,
         "device_resident_batch": args.device_batch_size,
         "p50_batch1_ms": round(p50_ms, 2),
+        "p50_batch1_ms_onchip": round(p50_onchip_ms, 2),
         "compile_s": round(compile_s, 1),
         "compile_per_shape_s": compile_per_shape,
         "resident_loop_compile_s": round(loop_compile_s, 1),
@@ -408,6 +467,30 @@ def main():
     ceiling = stages.get("contention_ceiling_imgs_per_sec")
     if ceiling:
         out["e2e_over_contention_ceiling"] = round(imgs_per_sec / ceiling, 3)
+    # Projected production-host e2e: this box has ONE core shared by the
+    # decode pool AND the out-of-process tunnel proxy, so its e2e says
+    # nothing about a real deployment. A Cloud TPU v5e-8 host has 112
+    # vCPUs (14 cores/chip) and a PCIe-local chip (no tunnel, no proxy
+    # core, wire not binding at >10 GB/s). Projection = min(chip rate,
+    # per-core decode rate × 14) — the BASELINE 5000/s-per-pod claim as a
+    # calculation, not an assertion.
+    if "decode_imgs_per_sec" in stages and stages.get("decode_cpu_busy"):
+        per_core = stages["decode_imgs_per_sec"] / (
+            stages["decode_cpu_busy"] * os.cpu_count()
+        )
+        projected = min(device_only, per_core * 14.0)
+        out["decode_imgs_per_sec_per_core"] = round(per_core, 1)
+        out["projected_production_host_imgs_per_sec_per_chip"] = round(
+            projected, 1
+        )
+        out["projected_production_vs_baseline"] = round(
+            projected / baseline_per_chip, 4
+        )
+        out["projection_assumptions"] = (
+            "v5e-8 host: 112 vCPU / 8 chips = 14 decode cores per chip; "
+            "PCIe-local chip (no tunnel); chip rate = measured "
+            "device_resident_imgs_per_sec"
+        )
     print(json.dumps(out))
 
 
