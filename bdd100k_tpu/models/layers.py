@@ -19,11 +19,82 @@ quantization-sensitive layers in MobileNet-style nets.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from bdd100k_tpu.ops.pallas_depthwise import depthwise_conv3x3
+
+
+class DepthwiseConv3x3(nn.Module):
+    """3×3 SAME depthwise conv with a selectable backend
+    (ops/pallas_depthwise.py): XLA by default — measured fastest on v5e
+    at every flagship shape — with the exact Pallas kernels opt-in via
+    ``BDD100K_TPU_DW=pallas|hybrid`` (kept for re-measurement on other
+    TPU generations; see the kernel module docstring for the r5 study).
+    Param layout is identical to ``nn.Conv(features=C,
+    feature_group_count=C)`` — "kernel" (3, 3, 1, C) f32 — so checkpoints
+    interchange freely and init draws from the same fan-in."""
+
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.shape[-1] == self.features, (
+            f"depthwise conv needs in_ch == features, got {x.shape[-1]} "
+            f"vs {self.features}"
+        )
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 1, self.features), jnp.float32,
+        )
+        y = depthwise_conv3x3(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.strides
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Int8Act(NamedTuple):
+    """A quantized activation travelling BETWEEN static-int8 convs:
+    int8 codes plus the fp32 scalar dequant scale (value ≈ codes·scale).
+    Produced by QuantConv(emit_int8=True) at inference; consumed by the
+    next QuantConv (which then skips its own quantize) and by the
+    code-domain relu/pool helpers below — max-pool and ReLU commute with
+    the positive-scale quantizer, so the tensor crosses HBM once, as
+    int8 (1 byte/elem), instead of dequant→bf16→requant (BENCH_MATRIX
+    "Quant stage attribution": the per-layer float round-trip was the
+    measured residual between int8_static and the 2× int8 ceiling)."""
+
+    codes: jax.Array   # int8, post-ReLU so values in [0, 127]
+    scale: jax.Array   # f32 scalar
+
+
+def relu_q(x):
+    """ReLU that is a no-op on Int8Act (the emitting conv already folded
+    ReLU into its epilogue clip at 0)."""
+    return x if isinstance(x, Int8Act) else nn.relu(x)
+
+
+def max_pool_q(x, window, strides, padding="SAME"):
+    """max_pool that runs directly on int8 codes for Int8Act inputs
+    (max commutes with the monotone dequant map; the scale is unchanged)."""
+    if isinstance(x, Int8Act):
+        codes = jax.lax.reduce_window(
+            x.codes, jnp.int8(-128), jax.lax.max,
+            (1, *window, 1), (1, *strides, 1), padding,
+        )
+        return Int8Act(codes, x.scale)
+    return nn.max_pool(x, window, strides=strides, padding=padding)
 
 
 class QuantConv(nn.Module):
@@ -48,6 +119,19 @@ class QuantConv(nn.Module):
     so the quantize is pure elementwise — XLA fuses it into the previous
     op's epilogue and the fp32 amax reduction (an extra HBM read of every
     activation tensor) disappears from the program.
+
+    `emit_int8=True` (static only — the requant-in-epilogue pipeline,
+    r5 VERDICT #4): instead of dequantizing to `dtype`, the conv's int32
+    accumulator is scaled by ONE fused per-channel fp32 factor
+    (a_scale·w_scale·emit_inv, a frozen constant), the following ReLU is
+    folded as the clip floor at 0, and the layer emits `Int8Act` codes
+    directly — the inter-layer tensor crosses HBM as 1 byte/elem instead
+    of round-tripping through `dtype`. The emit scale comes from a second
+    calibrated running max (`out_amax`, the post-ReLU output amax — equal
+    to the next layer's input amax since max-pool preserves maxima). A
+    QuantConv RECEIVING Int8Act skips its own quantize and uses the
+    incoming exact scale; calibration passes always run in float so both
+    running maxes populate in one pass.
     """
 
     features: int
@@ -58,49 +142,72 @@ class QuantConv(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     static_act: bool = False
+    emit_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
-        in_ch = x.shape[-1]
+        is_q_in = isinstance(x, Int8Act)
+        in_ch = (x.codes if is_q_in else x).shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (kh, kw, in_ch, self.features),
             jnp.float32,
         )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        ) if self.use_bias else None
         # symmetric per-output-channel weight quant
         w_amax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))        # (O,)
         w_scale = jnp.maximum(w_amax, 1e-12) / 127.0
         w_q = jnp.clip(
             jnp.round(kernel / w_scale), -127, 127
         ).astype(jnp.int8)
+        calibrating = self.is_mutable_collection("quant")
         if self.static_act:
             # calibrated per-tensor activation quant (running max while the
             # "quant" collection is mutable, frozen scale at inference)
             amax_var = self.variable(
                 "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
             )
-            if self.is_mutable_collection("quant"):
-                amax_var.value = jnp.maximum(
-                    amax_var.value,
-                    jnp.max(jnp.abs(x.astype(jnp.float32))),
-                )
-            a_amax = amax_var.value
-            # Quantize in the INPUT dtype (bf16), not via an fp32 upcast:
-            # the scale is a frozen constant, so mul+round+clip is a pure
-            # elementwise epilogue XLA fuses into the producing op — the
-            # activation leaves HBM once (as int8), and the fp32
-            # round-trip between quantized layers disappears. Dequant uses
-            # the exact fp32 inverse of the (possibly bf16) multiplier, so
-            # there is no systematic gain error; the bf16 mul itself
-            # rounds ≤1 int8 LSB for |q|≥64 (8 significand bits) —
-            # quantization-noise level (mAP delta in BENCH_MATRIX). When
-            # the module runs in fp32 (tests), this is bit-identical to
-            # the dynamic branch below.
-            inv = (127.0 / jnp.maximum(a_amax, 1e-12)).astype(x.dtype)
-            a_scale = 1.0 / inv.astype(jnp.float32)
-            x_q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+            out_amax_var = self.variable(
+                "quant", "out_amax", lambda: jnp.zeros((), jnp.float32)
+            ) if self.emit_int8 else None
+            if is_q_in:
+                # requant pipeline: the producer already emitted codes;
+                # its emit scale is this input's EXACT dequant factor
+                x_q, a_scale = x.codes, x.scale
+            else:
+                if calibrating:
+                    amax_var.value = jnp.maximum(
+                        amax_var.value,
+                        jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    )
+                a_amax = amax_var.value
+                # Quantize in the INPUT dtype (bf16), not via an fp32
+                # upcast: the scale is a frozen constant, so
+                # mul+round+clip is a pure elementwise epilogue XLA fuses
+                # into the previous op — the activation leaves HBM once,
+                # as int8, and the fp32 round-trip between quantized
+                # layers disappears. Dequant uses the exact fp32 inverse
+                # of the (possibly bf16) multiplier, so there is no
+                # systematic gain error; the bf16 mul itself rounds
+                # ≤1 int8 LSB for |q|≥64 (8 significand bits) —
+                # quantization-noise level (mAP delta in BENCH_MATRIX).
+                # When the module runs in fp32 (tests), this is
+                # bit-identical to the dynamic branch below.
+                # clamp to the compute dtype's finite range BEFORE the
+                # cast: fp16 would overflow to inf for amax < ~2e-3
+                # (0·inf → NaN); no-op for bf16/fp32 (ADVICE r4)
+                inv = jnp.minimum(
+                    127.0 / jnp.maximum(a_amax, 1e-12),
+                    float(jnp.finfo(x.dtype).max),
+                ).astype(x.dtype)
+                a_scale = 1.0 / inv.astype(jnp.float32)
+                x_q = jnp.clip(
+                    jnp.round(x * inv), -127, 127
+                ).astype(jnp.int8)
         else:
             # dynamic per-tensor activation quant (amax is data-dependent,
             # so the quantize cannot be a frozen-constant epilogue; keep
@@ -111,7 +218,7 @@ class QuantConv(nn.Module):
             a_scale = 1.0 / inv
             x_q = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
 
-        out = jax.lax.conv_general_dilated(
+        acc = jax.lax.conv_general_dilated(
             x_q,
             w_q,
             window_strides=self.strides,
@@ -120,12 +227,25 @@ class QuantConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
-        out = out.astype(jnp.float32) * (a_scale * w_scale)       # (.., O)
-        if self.use_bias:
-            bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
-            )
+        scale_c = a_scale * w_scale                               # (O,) f32
+        if self.static_act and self.emit_int8 and not calibrating:
+            # requant-in-epilogue: ONE fused per-channel multiply on the
+            # int32 accumulator, ReLU folded as the clip floor, int8 out
+            emit_inv = 127.0 / jnp.maximum(out_amax_var.value, 1e-12)
+            val = acc.astype(jnp.float32) * (scale_c * emit_inv)
+            if bias is not None:
+                val = val + bias * emit_inv
+            codes = jnp.clip(jnp.round(val), 0, 127).astype(jnp.int8)
+            return Int8Act(codes, 1.0 / emit_inv)
+        out = acc.astype(jnp.float32) * scale_c
+        if bias is not None:
             out = out + bias
+        if self.static_act and self.emit_int8 and calibrating:
+            # post-ReLU output amax == the next quantized layer's input
+            # amax (ReLU is folded at emit; max-pool preserves maxima)
+            out_amax_var.value = jnp.maximum(
+                out_amax_var.value, jnp.maximum(jnp.max(out), 0.0)
+            )
         return out.astype(self.dtype)
 
 
@@ -140,13 +260,34 @@ def conv2d(
     feature_group_count: int = 1,
     use_bias: bool = True,
     dtype: jnp.dtype = jnp.bfloat16,
+    emit_int8: bool = False,
     name: str | None = None,
 ) -> nn.Module:
     """nn.Conv, or its int8 drop-in for the int8 quant modes (same params).
 
     Grouped/depthwise convs always stay nn.Conv: they're VPU-bound (int8
     gains nothing) and the most quantization-sensitive layers.
+    `emit_int8` marks a conv whose (post-ReLU) consumer is another
+    static-int8 conv — in "int8_static" mode it then emits Int8Act codes
+    straight from the conv epilogue (see QuantConv); inert in every other
+    mode.
     """
+    if (
+        feature_group_count > 1
+        and feature_group_count == features
+        and tuple(kernel_size) == (3, 3)
+        and padding == "SAME"
+        and tuple(kernel_dilation) == (1, 1)
+    ):
+        # depthwise: selectable-backend module (stays bf16 in every quant
+        # mode, as before — dw convs are VPU-bound and quant-sensitive)
+        return DepthwiseConv3x3(
+            features=features,
+            strides=strides,
+            use_bias=use_bias,
+            dtype=dtype,
+            name=name,
+        )
     if quant in ("int8", "int8_static") and feature_group_count == 1:
         return QuantConv(
             features=features,
@@ -157,6 +298,7 @@ def conv2d(
             use_bias=use_bias,
             dtype=dtype,
             static_act=quant == "int8_static",
+            emit_int8=emit_int8 and quant == "int8_static",
             name=name,
         )
     if quant not in ("none", "int8", "int8_static"):
@@ -255,12 +397,17 @@ class L2Norm(nn.Module):
 
 
 class VGGConvBlock(nn.Module):
-    """n× (3×3 conv + ReLU); plain VGG block (no BN, matching classic VGG16)."""
+    """n× (3×3 conv + ReLU); plain VGG block (no BN, matching classic
+    VGG16). In "int8_static" mode, intra-block convs always feed another
+    quantized conv, so they emit int8 codes directly (requant pipeline);
+    `emit_out` says whether the LAST conv may too (False when the block
+    output feeds a float consumer, e.g. an L2Norm tap)."""
 
     features: int
     num_convs: int
     dtype: jnp.dtype = jnp.bfloat16
     quant: str = "none"
+    emit_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -271,7 +418,8 @@ class VGGConvBlock(nn.Module):
                 (3, 3),
                 padding="SAME",
                 dtype=self.dtype,
+                emit_int8=(i + 1 < self.num_convs) or self.emit_out,
                 name=f"conv{i + 1}",
             )(x)
-            x = nn.relu(x)
+            x = relu_q(x)
         return x
