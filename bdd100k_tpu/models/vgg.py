@@ -11,7 +11,13 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from bdd100k_tpu.models.layers import L2Norm, VGGConvBlock, conv2d
+from bdd100k_tpu.models.layers import (
+    L2Norm,
+    VGGConvBlock,
+    conv2d,
+    max_pool_q,
+    relu_q,
+)
 
 
 class VGG16Backbone(nn.Module):
@@ -20,24 +26,32 @@ class VGG16Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pool = lambda y: nn.max_pool(
-            y, (2, 2), strides=(2, 2), padding="SAME"
-        )
+        # pools run on int8 codes when the requant pipeline is active
+        # (max commutes with the positive-scale quantizer)
+        pool = lambda y: max_pool_q(y, (2, 2), strides=(2, 2))
         q = self.quant
         # block1 always stays bf16 (first-layer precision, cheap FLOPs)
         x = VGGConvBlock(64, 2, self.dtype, name="block1")(x)
         x = pool(x)
-        x = VGGConvBlock(128, 2, self.dtype, q, name="block2")(x)
+        # emit_out: a block whose (pooled) output feeds another quantized
+        # conv keeps the activation in int8 end-to-end ("int8_static"
+        # requant pipeline); block4's output feeds the float L2Norm tap,
+        # so its last conv dequantizes
+        x = VGGConvBlock(128, 2, self.dtype, q, emit_out=True,
+                         name="block2")(x)
         x = pool(x)
-        x = VGGConvBlock(256, 3, self.dtype, q, name="block3")(x)
+        x = VGGConvBlock(256, 3, self.dtype, q, emit_out=True,
+                         name="block3")(x)
         x = pool(x)
         x = VGGConvBlock(512, 3, self.dtype, q, name="block4")(x)
         tap8 = L2Norm(name="conv4_3_norm")(x)  # stride 8, L2-normalized
         x = pool(x)
-        x = VGGConvBlock(512, 3, self.dtype, q, name="block5")(x)
+        x = VGGConvBlock(512, 3, self.dtype, q, emit_out=True,
+                         name="block5")(x)
         # SSD's pool5: 3×3 stride 1 (keeps stride 16)
-        x = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        # fc6 → dilated 3×3 conv, fc7 → 1×1 conv (SSD §3 "à trous")
+        x = max_pool_q(x, (3, 3), strides=(1, 1))
+        # fc6 → dilated 3×3 conv, fc7 → 1×1 conv (SSD §3 "à trous");
+        # fc6 feeds fc7 (quantized), so it emits codes too
         x = conv2d(
             q,
             1024,
@@ -45,9 +59,10 @@ class VGG16Backbone(nn.Module):
             kernel_dilation=(6, 6),
             padding="SAME",
             dtype=self.dtype,
+            emit_int8=True,
             name="fc6",
         )(x)
-        x = nn.relu(x)
+        x = relu_q(x)
         x = conv2d(
             q,
             1024,

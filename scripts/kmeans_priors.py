@@ -57,6 +57,17 @@ def main(argv=None) -> None:
     records = load_bdd100k_labels(labels_path)
     wh = collect_box_shapes(records)
     print(f"{len(records)} images, {len(wh)} GT boxes")
+    if len(records) < 512:
+        # Measured r4 (BENCH_MATRIX "k-means priors"): a 64-image fit
+        # looked better in-sample but cost 0.774→0.731 held-out YOLO
+        # mAP — k·scales centroids overfit a small label sample.
+        print(
+            f"WARNING: only {len(records)} images — k-means priors "
+            "overfit small samples (a 64-image fit regressed held-out "
+            "mAP 0.774->0.731, BENCH_MATRIX.md); fit on >=512 images "
+            "before shipping these priors.",
+            file=sys.stderr,
+        )
 
     centroids, fitted_iou = kmeans_priors(wh, k=args.k, seed=args.seed)
     priors = priors_to_scales(centroids, num_scales=args.scales)

@@ -245,3 +245,104 @@ def test_calibration_batches_from_images(tmp_path):
                                               batch_size=4)
     assert [b.shape for b in batches] == [(4, 16, 16, 3)] * 2
     np.testing.assert_array_equal(batches[1][1], batches[1][3])
+
+
+def test_emit_int8_single_conv_codes_and_scale():
+    """QuantConv(emit_int8=True) at inference returns Int8Act whose
+    dequantized codes equal relu(float-path output) within one int8 grid
+    step, with ReLU folded as the clip floor (codes in [0, 127])."""
+    from bdd100k_tpu.models.layers import Int8Act
+
+    qc = QuantConv(features=12, kernel_size=(3, 3), dtype=jnp.float32,
+                   static_act=True, emit_int8=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 8), jnp.float32)
+    v = qc.init(jax.random.PRNGKey(0), x)
+    # calibration pass is float and populates BOTH running maxes
+    out_cal, muts = qc.apply(v, x, mutable=["quant"])
+    assert not isinstance(out_cal, Int8Act)
+    qv = muts["quant"]
+    assert float(qv["act_amax"]) > 0 and float(qv["out_amax"]) > 0
+    # frozen pass emits codes
+    out = qc.apply({"params": v["params"], "quant": qv}, x)
+    assert isinstance(out, Int8Act)
+    assert out.codes.dtype == jnp.int8
+    assert int(jnp.min(out.codes)) >= 0 and int(jnp.max(out.codes)) <= 127
+    deq = out.codes.astype(jnp.float32) * out.scale
+    ref = nn.relu(out_cal)
+    grid = float(out.scale)
+    assert float(jnp.max(jnp.abs(deq - ref))) <= 1.01 * grid
+
+
+def test_emit_int8_chain_matches_float_chain():
+    """conv(emit)→[pool on codes]→conv must track the same two-conv chain
+    run layer-by-layer in float (the pre-pipeline int8_static semantics)
+    within int8-noise: the pipeline only removes intermediate roundings."""
+    from bdd100k_tpu.models.layers import max_pool_q
+
+    class Chain(nn.Module):
+        emit: bool
+
+        @nn.compact
+        def __call__(self, x):
+            x = QuantConv(features=16, kernel_size=(3, 3),
+                          dtype=jnp.float32, static_act=True,
+                          emit_int8=self.emit, name="c1")(x)
+            x = nn.relu(x) if not self.emit else x
+            x = max_pool_q(x, (2, 2), strides=(2, 2))
+            x = QuantConv(features=8, kernel_size=(3, 3),
+                          dtype=jnp.float32, static_act=True,
+                          name="c2")(x)
+            return x
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 4), jnp.float32)
+    pipe, flat = Chain(emit=True), Chain(emit=False)
+    v = pipe.init(jax.random.PRNGKey(0), x)
+    _, muts = pipe.apply(v, x, mutable=["quant"])
+    qv = muts["quant"]
+    out_p = pipe.apply({"params": v["params"], "quant": qv}, x)
+    # the float chain reuses the same calibrated act scales (out_amax is
+    # simply unused there)
+    out_f = flat.apply({"params": v["params"], "quant": qv}, x)
+    rel = float(jnp.linalg.norm(out_p - out_f) /
+                (jnp.linalg.norm(out_f) + 1e-9))
+    assert rel < 0.02, rel
+
+
+def test_vgg_static_pipeline_tracks_dynamic():
+    """The full VGG16 int8_static requant pipeline (11 emitting convs,
+    pools on codes, taps dequantized) must track dynamic int8 as closely
+    as plain f32-roundtrip static did — the epilogue change removes HBM
+    traffic, not accuracy. Also pins the emit-layer count so a backbone
+    edit that silently drops the pipeline fails here."""
+    import flax
+
+    from bdd100k_tpu.models.vgg import VGG16Backbone
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3),
+                           jnp.float32)
+    bb_f = VGG16Backbone(dtype=jnp.float32)
+    bb_s = VGG16Backbone(dtype=jnp.float32, quant="int8_static")
+    bb_d = VGG16Backbone(dtype=jnp.float32, quant="int8")
+    vf = bb_f.init(jax.random.PRNGKey(0), x)
+    vs = bb_s.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(vf["params"]) == jax.tree.structure(
+        vs["params"]
+    )
+    _, muts = bb_s.apply(
+        {"params": vf["params"], "quant": vs["quant"]}, x, mutable=["quant"]
+    )
+    qv = muts["quant"]
+    flat = flax.traverse_util.flatten_dict(qv)
+    out_leaves = {k: float(v) for k, v in flat.items() if k[-1] == "out_amax"}
+    assert len(out_leaves) == 11, sorted(out_leaves)  # 2+3+2+3+1 emitters
+    assert all(v > 0 for v in out_leaves.values())
+    taps_f = bb_f.apply(vf, x)
+    taps_s = bb_s.apply({"params": vf["params"], "quant": qv}, x)
+    taps_d = bb_d.apply({"params": vf["params"]}, x)
+    for tf_, ts, td in zip(taps_f, taps_s, taps_d):
+        rel_s = float(jnp.linalg.norm(ts - tf_) /
+                      (jnp.linalg.norm(tf_) + 1e-9))
+        rel_d = float(jnp.linalg.norm(td - tf_) /
+                      (jnp.linalg.norm(tf_) + 1e-9))
+        # static pipeline may not degrade on dynamic by more than a hair
+        assert rel_s < rel_d + 0.005, (rel_s, rel_d)
